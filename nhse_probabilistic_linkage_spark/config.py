@@ -1,0 +1,59 @@
+"""Engine configuration.
+
+The reference keeps its model state (blocking rules, comparison levels,
+thresholds) as a JSON settings dict persisted to a Delta table
+(/root/reference/utils/model_utils.py:107-158,
+/root/reference/parameters_dedupe.py:23-54). Ours is a frozen dataclass with
+JSON round-trip so a run manifest can pin the exact detector config.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Knobs for the near-duplicate pipeline.
+
+    Defaults follow the north-star config: 5-gram shingles, 128-perm MinHash.
+    bands * rows_per_band must equal num_perms. With b=32, r=4 the LSH
+    S-curve gives collision probability 1-(1-s^4)^32: ~0.9998 at s=0.7 and
+    ~1-5e-8 at s=0.8 — i.e. recall >= 0.99 for true pairs at or above the
+    verification threshold, with the false-candidate tail removed by the
+    exact-Jaccard verify join.
+    """
+
+    shingle_k: int = 5
+    num_perms: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    jaccard_threshold: float = 0.7
+    # Hot-band guard: bands larger than this are dropped from pair generation
+    # (reference analog: blocking rules are hand-tuned to be selective and the
+    # candidate-count histogram gauges blocking quality,
+    # /root/reference/notebooks_dedupe/blocking_evaluation_dedupe.py:91-117).
+    # Drops are counted and logged — never silent.
+    band_cap: int = 5000
+    minhash_seed: int = 42
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 3
+    # Close-match window for canonical-doc election (reference analog:
+    # CLOSE_MATCHES_THRESHOLD=5, /root/reference/parameters_dedupe.py:23-24).
+    close_match_window: float = 0.05
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands ({self.bands}) * rows_per_band ({self.rows_per_band}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DedupConfig":
+        return cls(**json.loads(s))

@@ -1,0 +1,17 @@
+from nhse_probabilistic_linkage_spark.functions.text import (
+    normalize_text,
+    shingle_hashes,
+    shingles,
+    tokenize,
+)
+from nhse_probabilistic_linkage_spark.functions.minhash import make_minhash_udf
+from nhse_probabilistic_linkage_spark.functions.simhash import make_simhash_udf
+
+__all__ = [
+    "normalize_text",
+    "tokenize",
+    "shingles",
+    "shingle_hashes",
+    "make_minhash_udf",
+    "make_simhash_udf",
+]

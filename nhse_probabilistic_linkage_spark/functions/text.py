@@ -1,0 +1,81 @@
+"""Text normalization and shingling — fully native Catalyst expressions.
+
+The reference cleans its string fields with Python scalar UDFs
+(/root/reference/utils/preprocessing_utils.py:17-67,84-86) — the anti-pattern
+called out in SURVEY.md §2.8. Here every step is a built-in expression so it
+stays inside whole-stage codegen and Catalyst can prune/push down around it:
+
+    normalize  -> lower + regexp_replace + trim   (deterministic, versioned)
+    tokenize   -> split + filter
+    shingles   -> transform(sequence(...)) sliding window + array_distinct
+    hashes     -> transform(..., xxhash64)
+
+Determinism note: xxhash64 with the default seed (42) is a fixed, versioned
+function of its input — unlike monotonically_increasing_id, which the
+reference uses as a surrogate key (utils/dataset_ingestion_utils.py:450) and
+which is NOT stable across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Single source of truth for the normalization regex: anything that is not a
+# unicode letter or digit collapses to one space. Versioned — changing this
+# changes every shingle hash downstream, so treat like a model version.
+NORMALIZE_PATTERN = r"[^\p{L}\p{N}]+"
+NORMALIZE_VERSION = 1
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Deterministic text canonicalization (lowercase, strip punctuation,
+    collapse whitespace). Byte-identical per input string across runs and
+    partitionings — the per-row invariant the bench checks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), NORMALIZE_PATTERN, " "))
+
+
+def tokenize(col: Column | str, *, pre_normalized: bool = False) -> Column:
+    """Whitespace tokens of the normalized text; empty tokens removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = c if pre_normalized else normalize_text(c)
+    return F.filter(F.split(base, " "), lambda t: t != F.lit(""))
+
+
+def shingles(tokens: Column, k: int = 5) -> Column:
+    """Distinct word k-gram shingles as strings.
+
+    Documents with fewer than k tokens yield a single shingle = the whole
+    token sequence (so short docs still dedupe exactly); empty docs yield [].
+    """
+    n = F.size(tokens)
+    windowed = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+    )
+    short = F.array(F.array_join(tokens, " "))
+    return F.array_distinct(
+        F.when(n >= k, windowed).when(n > 0, short).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """64-bit hashes of shingle strings (xxhash64, fixed seed) — the compact
+    representation used for MinHash/verify at scale."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+
+def prepare_docs(df, text_col: str = "text", k: int = 5, keep_shingle_strings: bool = False):
+    """Attach `shingles` (array<bigint>) to a document DataFrame.
+
+    One pass, all native; column-pruned by Catalyst if callers select less.
+    """
+    toks = tokenize(F.col(text_col))
+    sh_strings = shingles(toks, k)
+    out = df.withColumn("_sh_str", sh_strings).withColumn(
+        "shingles", shingle_hashes(F.col("_sh_str"))
+    )
+    if keep_shingle_strings:
+        return out.withColumnRenamed("_sh_str", "shingle_strings")
+    return out.drop("_sh_str")

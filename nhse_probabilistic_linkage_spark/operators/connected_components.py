@@ -1,0 +1,126 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+Replaces the reference's driver-side BFS over a collect()ed edge list
+(`find_connected_ids`, /root/reference/utils/dataset_ingestion_utils.py:
+487-540 — O(all edges) in driver memory) with the Kiveris et al.
+"Connected Components in MapReduce and Beyond" algorithm expressed purely as
+DataFrame ops, so it scales to 10^12-node graphs:
+
+  large-star: every node connects its LARGER neighbors to the minimum of its
+              closed neighborhood;
+  small-star: every node connects its SMALLER-or-equal neighbors (and itself)
+              to the minimum of those.
+
+Alternating the two converges in O(log^2 n) rounds to a forest of stars
+centered at each component's minimum id. Each round is two shuffles
+(groupBy min + join); lineage is cut per round with an eager
+localCheckpoint() — the reference's `break_lineage_method` lesson
+(predict_dedupe.py:63-69) applied to an iterative loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient big->small, drop self-loops, dedup."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", F.col("src")).alias("mn"))
+    )
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = _canonical(edges)
+    mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
+    joined = e.join(mins, "src")
+    out = joined.select(F.col("dst").alias("u"), F.col("mn")).union(
+        mins.select(F.col("src").alias("u"), F.col("mn"))
+    )
+    return (
+        out.where(F.col("u") != F.col("mn"))
+        .select(F.col("u").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(src,dst) undirected edge DataFrame -> (id, component) assignment where
+    component = min node id in the component. Only nodes that appear in an
+    edge are returned; callers union isolated nodes back (see
+    assign_components)."""
+    cur = _canonical(edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")))
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    if prev_sig[0] == 0:
+        return cur.sparkSession.createDataFrame([], "id bigint, component bigint")
+
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+    # Converged: star edges (node -> component min). Roots map to themselves.
+    members = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
+    return members.union(roots).groupBy("id").agg(F.min("component").alias("component"))
+
+
+def assign_components(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "cluster_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster assignment for every doc: connected-component min id for docs
+    with at least one duplicate edge, own id for singletons."""
+    comps = connected_components(edges, max_iterations=max_iterations)
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias(out_col),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Deduplication operator suite for training-data pipelines.
+
+Exact dedup (hash groupBy), MinHash-LSH near-dup, SimHash near-dup, n-gram
+Jaccard pairs — each returns DataFrames, composes with connected_components
+for clustering, and runs entirely on built-in expressions except the
+signature kernels (vectorized Arrow UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.functions.text import normalize_text, prepare_docs
+from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
+from nhse_probabilistic_linkage_spark.functions.simhash import with_simhash
+from nhse_probabilistic_linkage_spark.operators.lsh import band_keys, candidate_pairs
+from nhse_probabilistic_linkage_spark.operators.simhash_lsh import simhash_block_keys, verify_hamming
+from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact duplicate groups on (normalized) text.
+
+    Output: (doc_id, rep_id, group_size) for every doc, where rep_id is the
+    min doc id sharing identical text. At scale the groupBy key is
+    xxhash64(text) (64-bit fingerprint) so only 8 bytes shuffle per row; the
+    window argmin then picks the representative.
+    """
+    key = F.col(text_col) if normalized else normalize_text(F.col(text_col))
+    keyed = df.select(F.col(id_col), F.xxhash64(key).alias("_fp"))
+    w = Window.partitionBy("_fp")
+    return (
+        keyed.withColumn("rep_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(id_col, "rep_id", "group_size")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    config: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """text -> verified near-duplicate pairs (id_l, id_r, match_key, jaccard).
+
+    Returns (pairs, dropped_bands). The full detector-1 path: shingle ->
+    minhash -> bands -> capped self-join -> exact-jaccard verify.
+    """
+    docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
+    docs = with_minhash(docs, num_perms=config.num_perms, seed=config.minhash_seed)
+    bands = band_keys(
+        docs, id_col=id_col, bands=config.bands, rows_per_band=config.rows_per_band
+    )
+    cands, dropped = candidate_pairs(bands, id_col=id_col, band_cap=config.band_cap)
+    verified = verify_pairs(
+        cands, docs, id_col=id_col, threshold=config.jaccard_threshold
+    )
+    return verified, dropped
+
+
+def simhash_pairs(
+    df: DataFrame,
+    config: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """text -> near-duplicate pairs by SimHash Hamming distance."""
+    docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
+    docs = with_simhash(docs)
+    blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
+    cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap)
+    return verify_hamming(cands, docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle inverted index (no MinHash) —
+    the brute-force-correct path used as the oracle for the probabilistic
+    detectors at small scale; still distributed (shingle explode + self-join),
+    but O(pairs sharing a shingle) so only for corpora where that is sane.
+    """
+    docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=k)
+    inv = docs.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    cand = (
+        inv.alias("l")
+        .join(inv.alias("r"), "sh")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r"))
+        .distinct()
+    )
+    return verify_pairs(cand, docs, id_col=id_col, threshold=threshold)
