@@ -1,0 +1,212 @@
+"""End-to-end near-duplicate pipeline with per-stage checkpointing, metrics
+and resume.
+
+Stage graph (each stage a pure DataFrame transform; signatures cut at stage
+boundaries exactly where the reference cuts Splink lineage with
+break_lineage_method='persist'|'delta_lake_table',
+/root/reference/predict_dedupe.py:63-69):
+
+  prepare    pages -> (doc_id, url, shingles, n_shingles)   [native]
+  signatures + minhash (Arrow UDF), + simhash (Arrow UDF)
+  pairs      LSH bands -> capped self-join -> candidates    [shuffle: band_key]
+  verified   exact Jaccard >= threshold                     [shuffle: doc_id]
+  clusters   connected components + singleton backfill      [iterative]
+  canonical  per-cluster canonical doc election             [window]
+
+Every stage writes (when a checkpoint dir is given) a parquet table plus a
+row in the run manifest; re-running with the same manifest skips completed
+stages — the resumability contract. Stage metrics (rows, wall seconds) land
+in a metrics table (reference analog: the model/metrics Delta log,
+utils/model_utils.py:107-125).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
+from nhse_probabilistic_linkage_spark.functions.simhash import with_simhash
+from nhse_probabilistic_linkage_spark.functions.text import prepare_docs
+from nhse_probabilistic_linkage_spark.operators.best_match import elect_canonical
+from nhse_probabilistic_linkage_spark.operators.connected_components import assign_components
+from nhse_probabilistic_linkage_spark.operators.lsh import band_keys, candidate_pairs
+from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
+
+STAGES = ["prepare", "signatures", "pairs", "verified", "clusters", "canonical"]
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    rows: int
+    seconds: float
+    extra: dict = field(default_factory=dict)
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: DedupConfig | None = None,
+        checkpoint_dir: str | None = None,
+        id_col: str = "doc_id",
+    ):
+        self.spark = spark
+        self.config = config or DedupConfig()
+        self.checkpoint_dir = checkpoint_dir
+        self.id_col = id_col
+        self.metrics: list[StageMetric] = []
+
+    # -- checkpoint plumbing -------------------------------------------------
+    def _stage_path(self, stage: str) -> str | None:
+        return os.path.join(self.checkpoint_dir, stage) if self.checkpoint_dir else None
+
+    def _manifest_path(self) -> str | None:
+        return os.path.join(self.checkpoint_dir, "manifest.json") if self.checkpoint_dir else None
+
+    def _load_manifest(self, input_fingerprint: str) -> dict:
+        fresh = {"config": self.config.to_json(), "input": input_fingerprint, "done": []}
+        p = self._manifest_path()
+        if p and os.path.exists(p):
+            with open(p) as f:
+                m = json.load(f)
+            # config OR input changed -> stale checkpoints must not be reused
+            if m.get("config") != self.config.to_json() or m.get("input") != input_fingerprint:
+                return fresh
+            return m
+        return fresh
+
+    def _save_manifest(self, manifest: dict) -> None:
+        p = self._manifest_path()
+        if p:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            with open(p, "w") as f:
+                json.dump(manifest, f, indent=2)
+
+    def _materialize(self, df: DataFrame, stage: str, manifest: dict) -> DataFrame:
+        """Run a stage: reuse its checkpoint if the manifest says it's done,
+        else compute, persist (parquet checkpoint or localCheckpoint), record
+        metrics, and mark done."""
+        path = self._stage_path(stage)
+        if path and stage in manifest["done"]:
+            out = self.spark.read.parquet(path)
+            self.metrics.append(StageMetric(stage, -1, 0.0, {"resumed": True}))
+            return out
+        t0 = time.monotonic()
+        if path:
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            rows = out.count()
+        else:
+            out = df.localCheckpoint(eager=True)
+            rows = out.count()
+        self.metrics.append(StageMetric(stage, rows, time.monotonic() - t0))
+        manifest["done"].append(stage)
+        self._save_manifest(manifest)
+        return out
+
+    # -- the pipeline ---------------------------------------------------------
+    def run(
+        self,
+        pages: DataFrame,
+        text_col: str = "text",
+        input_fingerprint: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """input_fingerprint identifies the input dataset for resume safety
+        (e.g. an Iceberg snapshot id or source path). When None and a
+        checkpoint dir is set, a content checksum is computed (one cheap
+        agg over ids) — same dir + different input never wrongly resumes."""
+        cfg = self.config
+
+        # doc_id: stable content-independent key from url (xxhash64), NOT
+        # monotonically_increasing_id (reference pitfall,
+        # utils/dataset_ingestion_utils.py:450 — unstable across runs).
+        if self.id_col not in pages.columns:
+            pages = pages.withColumn(self.id_col, F.xxhash64(F.col("url")))
+
+        if input_fingerprint is None and self.checkpoint_dir:
+            row = pages.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64(self.id_col).cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            input_fingerprint = f"n={row['n']},h={row['h']}"
+        manifest = self._load_manifest(input_fingerprint or "unspecified")
+
+        base_cols = [c for c in ("url",) if c in pages.columns]
+        prepared = self._materialize(
+            prepare_docs(pages.select(self.id_col, *base_cols, text_col), text_col=text_col, k=cfg.shingle_k)
+            .withColumn("n_shingles", F.size("shingles"))
+            .select(self.id_col, *base_cols, "shingles", "n_shingles"),
+            "prepare",
+            manifest,
+        )
+
+        signatures = self._materialize(
+            with_simhash(
+                with_minhash(prepared, num_perms=cfg.num_perms, seed=cfg.minhash_seed)
+            ).select(self.id_col, "minhash", "simhash"),
+            "signatures",
+            manifest,
+        )
+
+        bands = band_keys(
+            signatures, id_col=self.id_col, bands=cfg.bands, rows_per_band=cfg.rows_per_band
+        )
+        cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap)
+        pairs = self._materialize(cands, "pairs", manifest)
+        n_dropped = dropped.count()
+        if n_dropped:
+            self.metrics.append(
+                StageMetric("pairs.dropped_bands", n_dropped, 0.0, {"band_cap": cfg.band_cap})
+            )
+
+        verified = self._materialize(
+            verify_pairs(pairs, prepared, id_col=self.id_col, threshold=cfg.jaccard_threshold),
+            "verified",
+            manifest,
+        )
+
+        clusters = self._materialize(
+            assign_components(
+                prepared,
+                verified.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")),
+                id_col=self.id_col,
+            ),
+            "clusters",
+            manifest,
+        )
+
+        canonical = self._materialize(
+            elect_canonical(
+                clusters, prepared.select(self.id_col, "n_shingles"),
+                id_col=self.id_col, prefer_col="n_shingles",
+            ).select(self.id_col, "cluster_id", "canonical_id", "is_canonical"),
+            "canonical",
+            manifest,
+        )
+
+        return {
+            "prepared": prepared,
+            "signatures": signatures,
+            "pairs": pairs,
+            "verified": verified,
+            "clusters": clusters,
+            "canonical": canonical,
+        }
+
+    def metrics_df(self) -> DataFrame:
+        rows = [(m.stage, m.rows, m.seconds, json.dumps(m.extra)) for m in self.metrics]
+        return self.spark.createDataFrame(rows, "stage string, rows long, seconds double, extra string")
+
+    def write_metrics(self) -> None:
+        if self.checkpoint_dir:
+            self.metrics_df().write.mode("overwrite").parquet(
+                os.path.join(self.checkpoint_dir, "metrics")
+            )

@@ -1,0 +1,72 @@
+"""Table IO abstraction: Iceberg when a catalog is configured, parquet
+fallback otherwise.
+
+The reference reads/writes everything through a Hive metastore of Delta
+tables (`spark.table(...)` at utils/dataset_ingestion_utils.py:473,
+`saveAsTable` at utils/model_utils.py:118-125). The north star targets
+Iceberg; this sandbox has no Iceberg runtime JAR, so the same call sites go
+through this module and a path-based parquet catalog — documented fallback
+(SURVEY.md §7.4.5). Swapping `TableIO(catalog="iceberg_cat")` in makes every
+read/write go through `spark.read.table` / `writeTo(...).append()` with
+partition transforms.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_catalog(spark: SparkSession, catalog: str) -> bool:
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Minimal table catalog: name -> Iceberg table or parquet dir."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, catalog: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.catalog = catalog if catalog and _has_catalog(spark, catalog) else None
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        if self.catalog:
+            writer = df.writeTo(f"{self.catalog}.{name}")
+            if mode == "append":
+                writer.append()
+            else:
+                writer.createOrReplace()
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        p = self._path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver-provided benchmark tables."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)

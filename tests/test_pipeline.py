@@ -1,0 +1,156 @@
+"""End-to-end pipeline tests on the planted synthetic corpus: recall >= 0.99
+vs expected pairs at the config threshold, candidate-miss accounting,
+checkpoint/resume, and corpus determinism across partitionings."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.plans.evaluate import (
+    candidate_count_histogram,
+    expected_pairs_at_threshold,
+    pair_recall_report,
+    threshold_confusion,
+)
+from nhse_probabilistic_linkage_spark.plans.pipeline import DedupPipeline
+from nhse_probabilistic_linkage_spark.sources.pages import synth_pages
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages, truth = synth_pages(spark, N_DOCS, seed=7, partitions=4)
+    return pages.localCheckpoint(eager=True), truth.localCheckpoint(eager=True)
+
+
+def test_corpus_deterministic_across_partitionings(spark):
+    a, _ = synth_pages(spark, 100, seed=3, partitions=1)
+    b, _ = synth_pages(spark, 100, seed=3, partitions=13)
+    rows_a = sorted((r.url, r.text, r.lang, r.warc_ts, bytes(r.html)) for r in a.collect())
+    rows_b = sorted((r.url, r.text, r.lang, r.warc_ts, bytes(r.html)) for r in b.collect())
+    assert rows_a == rows_b
+
+
+def test_corpus_has_planted_duplicates(spark, corpus):
+    _, truth = corpus
+    sizes = truth.groupBy("cluster_id").count().where("count > 1")
+    assert sizes.count() > 10
+
+
+def test_pipeline_recall_and_miss_accounting(spark, corpus):
+    pages, truth = corpus
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg)
+    out = pipe.run(pages)
+
+    docs = out["prepared"]
+    id_truth = truth.join(
+        pages.select("url", F.xxhash64("url").alias("doc_id")), "url"
+    ).select("doc_id", "cluster_id")
+
+    expected = expected_pairs_at_threshold(id_truth, docs, cfg.jaccard_threshold)
+    report = pair_recall_report(expected, out["pairs"], out["verified"]).collect()[0]
+    assert report["expected_pairs"] > 50
+    assert report["recall"] >= 0.99, report.asDict()
+    assert report["band_misses"] + report["verify_misses"] <= 0.01 * report["expected_pairs"]
+
+    # verified pairs that aren't within a planted cluster should be rare
+    # (random-vocab singleton texts almost never reach jaccard 0.7)
+    tp = id_truth.alias("l").join(id_truth.alias("r"), F.col("l.cluster_id") == F.col("r.cluster_id"))
+    true_pairs = tp.select(
+        F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r")
+    ).where("id_l < id_r")
+    false_hits = out["verified"].join(true_pairs, ["id_l", "id_r"], "left_anti").count()
+    assert false_hits <= max(2, 0.02 * report["verified_hits"])
+
+
+def test_pipeline_clusters_respect_truth(spark, corpus):
+    pages, truth = corpus
+    cfg = DedupConfig()
+    out = DedupPipeline(spark, cfg).run(pages)
+    id_truth = truth.join(
+        pages.select("url", F.xxhash64("url").alias("doc_id")), "url"
+    ).select("doc_id", "cluster_id")
+    # docs our engine clusters together must share a planted cluster whenever
+    # the pair's true jaccard clears the threshold: check engine clusters
+    # never merge two different planted clusters (precision at cluster level).
+    joined = out["clusters"].withColumnRenamed("cluster_id", "engine_cluster").join(id_truth, "doc_id")
+    merged = (
+        joined.groupBy("engine_cluster")
+        .agg(F.countDistinct("cluster_id").alias("n_truth"))
+        .where("n_truth > 1")
+        .count()
+    )
+    assert merged == 0
+
+
+def test_candidate_histogram_covers_all_docs(spark, corpus):
+    pages, _ = corpus
+    out = DedupPipeline(spark, DedupConfig()).run(pages)
+    hist = candidate_count_histogram(out["prepared"], out["pairs"])
+    assert hist.agg(F.sum("n_docs")).collect()[0][0] == N_DOCS
+
+
+def test_threshold_confusion_single_pass(spark, corpus):
+    pages, truth = corpus
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg)
+    out = pipe.run(pages)
+    docs = out["prepared"]
+    id_truth = truth.join(
+        pages.select("url", F.xxhash64("url").alias("doc_id")), "url"
+    ).select("doc_id", "cluster_id")
+    expected = expected_pairs_at_threshold(id_truth, docs, cfg.jaccard_threshold)
+    sweep = threshold_confusion(out["verified"], expected, [0.7, 0.8, 0.9])
+    rows = {r.threshold: r for r in sweep.collect()}
+    assert rows[0.7].recall >= 0.99
+    # higher threshold can only shrink predicted-positive set
+    assert rows[0.9].tp <= rows[0.7].tp
+
+
+def test_pipeline_checkpoint_resume(spark, corpus, tmp_path):
+    pages, _ = corpus
+    ckpt = str(tmp_path / "ckpt")
+    cfg = DedupConfig()
+    p1 = DedupPipeline(spark, cfg, checkpoint_dir=ckpt)
+    out1 = p1.run(pages)
+    clusters1 = sorted((r.doc_id, r.cluster_id) for r in out1["clusters"].collect())
+
+    # resume: a fresh pipeline over the same checkpoint dir recomputes nothing
+    p2 = DedupPipeline(spark, cfg, checkpoint_dir=ckpt)
+    out2 = p2.run(pages)
+    assert all(m.extra.get("resumed") for m in p2.metrics if m.stage in
+               ("prepare", "signatures", "pairs", "verified", "clusters", "canonical"))
+    clusters2 = sorted((r.doc_id, r.cluster_id) for r in out2["clusters"].collect())
+    assert clusters1 == clusters2
+
+    # kill-and-resume: drop a late stage; earlier stages still skip
+    shutil.rmtree(ckpt + "/clusters")
+    manifest_resumed = [s for s in p2.metrics if s.stage == "signatures"]
+    assert manifest_resumed
+    import json
+    with open(ckpt + "/manifest.json") as f:
+        m = json.load(f)
+    m["done"] = [s for s in m["done"] if s not in ("clusters", "canonical")]
+    with open(ckpt + "/manifest.json", "w") as f:
+        json.dump(m, f)
+    p3 = DedupPipeline(spark, cfg, checkpoint_dir=ckpt)
+    out3 = p3.run(pages)
+    resumed = {s.stage for s in p3.metrics if s.extra.get("resumed")}
+    assert {"prepare", "signatures", "pairs", "verified"} <= resumed
+    clusters3 = sorted((r.doc_id, r.cluster_id) for r in out3["clusters"].collect())
+    assert clusters3 == clusters1
+
+
+def test_extracted_text_matches_planted_text(spark, corpus):
+    """Per-row invariant: extraction from html is byte-identical to the
+    corpus-planted text for every url."""
+    from nhse_probabilistic_linkage_spark.sources.pages import extract_text
+
+    pages, _ = corpus
+    ext = extract_text(pages)
+    mismatches = ext.where(F.col("extracted_text") != F.col("text")).count()
+    assert mismatches == 0
