@@ -1,38 +1,772 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship near-dup clustering on /root/testdata/sf0.001.
+queries()     -> operator inventory from SURVEY.md §2 + the training-data
+                 suite (dedup / similarity / text analysis), each as a
+                 (spark, sf_dir) -> DataFrame callable.
+oracle_sql()  -> DuckDB-equivalent SQL per query (omitted for genuinely
+                 non-SQL-expressible ops: signature kernels, iterative CC is
+                 expressed via recursive CTE so it IS included).
+
+Column names and rounding are aligned between both sides; money aggregates
+sum in decimal so Spark and DuckDB agree bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.functions import textstats as TS
+from nhse_probabilistic_linkage_spark.functions.text import normalize_text, prepare_docs
+from nhse_probabilistic_linkage_spark.operators.best_match import best_match_per_doc
+from nhse_probabilistic_linkage_spark.operators.connected_components import assign_components
+from nhse_probabilistic_linkage_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from nhse_probabilistic_linkage_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+)
+from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
+from nhse_probabilistic_linkage_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-duplicate clusters of the documents table at sf0.001: LSH
+    candidate pairs -> exact-Jaccard verify -> connected components ->
+    (doc_id, cluster_id, is_duplicate)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    verified, _dropped = minhash_lsh_pairs(docs, cfg)
+    clusters = assign_components(
+        docs,
+        verified.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")),
+    )
+    return clusters.withColumn("is_duplicate", F.col("cluster_id") != F.col("doc_id"))
 
+
+# --------------------------------------------------------------------------
+# shared SQL fragments for oracles (normalization/shingling parity)
+# --------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
+
+_SHINGLES_CTE = f"""
+docs AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)])
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS s
+  FROM docs
+)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+  FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT c.id_l, c.id_r,
+         round(len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM cand c JOIN sh a ON c.id_l = a.doc_id JOIN sh b ON c.id_r = b.doc_id
+)
+SELECT id_l, id_r, jaccard FROM scored WHERE jaccard >= __THR__
+"""
+
+
+def _spark_jaccard_pairs(spark, sf_dir, thr):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=thr)
+    return pairs.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- scans / filters / projections / aggregations (SURVEY §2.2, §2.4)
+    def q01_pricing_summary(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,4)")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))))
+                .cast("double")
+                .alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
 
+    q["q01_pricing_summary"] = q01_pricing_summary
+
+    def q02_filter_project_case(spark, sf_dir):
+        # computed column + when/otherwise chain + cast + isin filter
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.filter(F.col("o_orderstatus").isin("F", "O"))
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+                F.when(F.col("o_totalprice") > 200000, "high")
+                .when(F.col("o_totalprice") > 100000, "mid")
+                .otherwise("low")
+                .alias("price_band"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            )
+        )
+
+    q["q02_filter_project_case"] = q02_filter_project_case
+
+    def q03_join3_revenue(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        rev = (F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+        return (
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .filter(F.col("revenue") > 100000)
+        )
+
+    q["q03_join3_revenue"] = q03_join3_revenue
+
+    def q05_nation_revenue(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        return (
+            o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_revenue"),
+                F.count("*").alias("n_orders"),
+            )
+        )
+
+    q["q05_nation_revenue"] = q05_nation_revenue
+
+    # ---- joins: anti / semi / outer (SURVEY §2.3)
+    def q10_customers_without_orders(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+        return (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"))
+        )
+
+    q["q10_customers_without_orders"] = q10_customers_without_orders
+
+    def q11_customers_with_f_orders(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+        return (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_customers"))
+        )
+
+    q["q11_customers_with_f_orders"] = q11_customers_with_f_orders
+
+    def q12_order_counts_outer(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        per = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+        return (
+            c.join(per, F.col("c_custkey") == F.col("o_custkey"), "left")
+            .select("c_custkey", F.coalesce("cnt", F.lit(0)).alias("n_orders"))
+        )
+
+    q["q12_order_counts_outer"] = q12_order_counts_outer
+
+    # ---- windows (SURVEY §2.5)
+    def q20_top3_orders_per_customer(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        return (
+            o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"), "rank")
+        )
+
+    q["q20_top3_orders_per_customer"] = q20_top3_orders_per_customer
+
+    def q21_running_user_value(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return e.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        )
+
+    q["q21_running_user_value"] = q21_running_user_value
+
+    def q22_latest_event_per_user(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(
+                "user_id",
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+                "event_type",
+            )
+        )
+
+    q["q22_latest_event_per_user"] = q22_latest_event_per_user
+
+    def q23_max_over_partition(spark, sf_dir):
+        # analytic max + filter-to-max (get_best_match shape,
+        # reference utils/model_utils.py:218-236)
+        li = _t(spark, sf_dir, "lineitem")
+        w = Window.partitionBy("l_orderkey")
+        return (
+            li.withColumn("max_price", F.max("l_extendedprice").over(w))
+            .filter(F.col("l_extendedprice") == F.col("max_price"))
+            .groupBy("l_orderkey")
+            .agg(F.min("l_linenumber").alias("best_line"), F.count("*").alias("n_ties"))
+        )
+
+    q["q23_max_over_partition"] = q23_max_over_partition
+
+    # ---- set ops / sort-limit / conditional agg (SURVEY §2.6, §2.7)
+    def q30_union_distinct_nations(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        return (
+            c.select(F.col("c_nationkey").alias("nationkey"))
+            .union(s.select(F.col("s_nationkey").alias("nationkey")))
+            .distinct()
+        )
+
+    q["q30_union_distinct_nations"] = q30_union_distinct_nations
+
+    def q31_top20_orders(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(20)
+            .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"))
+        )
+
+    q["q31_top20_orders"] = q31_top20_orders
+
+    def q32_conditional_agg_single_pass(spark, sf_dir):
+        # the single-pass confusion-matrix pattern replacing the reference's
+        # 4 count() jobs per threshold (utils/eval_utils.py:485-520)
+        e = _t(spark, sf_dir, "events")
+        return e.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when((F.col("value") > 50) & (F.col("user_id") % 2 == 0), 1).otherwise(0)).alias("n_high_even_user"),
+        )
+
+    q["q32_conditional_agg_single_pass"] = q32_conditional_agg_single_pass
+
+    # ---- string / array functions (SURVEY §2.8)
+    def q40_string_functions(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        return c.select(
+            "c_custkey",
+            F.upper(F.col("c_name")).alias("name_upper"),
+            F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+            F.regexp_extract(F.col("c_name"), r"(\d+)", 1).alias("name_digits"),
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("lev_to_first"),
+            F.concat_ws("|", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
+            F.length(F.col("c_name")).alias("name_len"),
+        )
+
+    q["q40_string_functions"] = q40_string_functions
+
+    def q41_explode_embedding_stats(spark, sf_dir):
+        em = _t(spark, sf_dir, "embeddings")
+        return (
+            em.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.round(F.avg(F.col("val").cast("double")), 4).alias("avg_val"),
+                F.round(F.max(F.col("val").cast("double")), 4).alias("max_val"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    q["q41_explode_embedding_stats"] = q41_explode_embedding_stats
+
+    # ---- dedup suite (north-star operators)
+    def q50_exact_dedup(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return exact_dedup(docs)
+
+    q["q50_exact_dedup"] = q50_exact_dedup
+
+    def q51_ngram_jaccard_pairs(spark, sf_dir):
+        return _spark_jaccard_pairs(spark, sf_dir, 0.5)
+
+    q["q51_ngram_jaccard_pairs"] = q51_ngram_jaccard_pairs
+
+    def q52_minhash_lsh_pairs(spark, sf_dir):
+        # probabilistic detector; at J>=0.8 with b=32,r=4 the miss probability
+        # is ~5e-8 per pair, so output equals the brute-force oracle
+        docs = _t(spark, sf_dir, "documents")
+        verified, _ = minhash_lsh_pairs(docs, DedupConfig(jaccard_threshold=0.8))
+        return verified.select("id_l", "id_r", F.round("jaccard", 6).alias("jaccard"))
+
+    q["q52_minhash_lsh_pairs"] = q52_minhash_lsh_pairs
+
+    def q53_cc_clusters(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+        return assign_components(
+            docs, pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+        )
+
+    q["q53_cc_clusters"] = q53_cc_clusters
+
+    def q54_best_match(spark, sf_dir):
+        pairs = _spark_jaccard_pairs(spark, sf_dir, 0.3)
+        return best_match_per_doc(pairs, close_window=0.05).select(
+            "id", "best_partner", F.round("best_score", 6).alias("best_score"), "close_match"
+        )
+
+    q["q54_best_match"] = q54_best_match
+
+    def q55_simhash_pairs(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return simhash_pairs(docs, DedupConfig()).select("id_l", "id_r", "hamming")
+
+    q["q55_simhash_pairs"] = q55_simhash_pairs  # rows-only (hash-dependent)
+
+    def q56_minhash_signatures(spark, sf_dir):
+        docs = prepare_docs(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        return with_minhash(docs).select("doc_id", F.size("minhash").alias("sig_len"))
+
+    q["q56_minhash_signatures"] = q56_minhash_signatures  # rows-only
+
+    # ---- similarity search
+    def q60_embedding_neardup(spark, sf_dir):
+        em = _t(spark, sf_dir, "embeddings")
+        em = em.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        return embedding_neardup_pairs(em, threshold=0.4, exact=True).select(
+            "id_l", "id_r", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["q60_embedding_neardup"] = q60_embedding_neardup
+
+    def q61_ann_topk(spark, sf_dir):
+        em = _t(spark, sf_dir, "embeddings")
+        em = em.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
+        queries_df = em.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = em.filter(F.col("vec_id") >= 10)
+        return brute_force_topk(corpus, queries_df, k=5).select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+
+    q["q61_ann_topk"] = q61_ann_topk
+
+    def q62_label_centroid_similarity(spark, sf_dir):
+        # groupBy agg over array columns: per-label mean vector then each
+        # vector's cosine to its label centroid
+        em = _t(spark, sf_dir, "embeddings")
+        exploded = em.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+        centroids = exploded.groupBy("label", "pos").agg(F.avg(F.col("val").cast("double")).alias("cval"))
+        joined = (
+            exploded.join(centroids, ["label", "pos"])
+            .groupBy("vec_id", "label")
+            .agg(
+                F.sum(F.col("val").cast("double") * F.col("cval")).alias("dot"),
+                F.sqrt(F.sum(F.col("val").cast("double") * F.col("val"))).alias("vn"),
+                F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
+            )
+        )
+        return joined.select(
+            "vec_id", "label", F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 4).alias("centroid_cosine")
+        )
+
+    q["q62_label_centroid_similarity"] = q62_label_centroid_similarity
+
+    # ---- text analysis suite
+    def q70_textstats(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return TS.with_textstats(docs).select(
+            "doc_id", "ws_tokens", "bpe_tokens", "mean_tok_len", "alpha_ratio", "quality"
+        )
+
+    q["q70_textstats"] = q70_textstats
+
+    def q71_lang_id(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+    q["q71_lang_id"] = q71_lang_id
+
+    def q72_fingerprint_cardinality(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.groupBy("lang").agg(
+            F.countDistinct(TS.doc_fingerprint(F.col("text"))).alias("n_distinct_docs"),
+            F.count("*").alias("n_docs"),
+        )
+
+    q["q72_fingerprint_cardinality"] = q72_fingerprint_cardinality
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q01_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q02_filter_project_case"] = """
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               strftime(o_orderdate, '%Y-%m') AS order_month
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    """
+
+    o["q03_join3_revenue"] = """
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey HAVING revenue > 100000
+    """
+
+    o["q05_nation_revenue"] = """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+
+    o["q10_customers_without_orders"] = """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        GROUP BY c_mktsegment
+    """
+
+    o["q11_customers_with_f_orders"] = """
+        SELECT c_nationkey, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_nationkey
+    """
+
+    o["q12_order_counts_outer"] = """
+        SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        ) per ON c_custkey = per.o_custkey
+    """
+
+    o["q20_top3_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               rank
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders
+        ) WHERE rank <= 3
+    """
+
+    o["q21_running_user_value"] = """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events
+    """
+
+    o["q22_latest_event_per_user"] = """
+        SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, event_type
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """
+
+    o["q23_max_over_partition"] = """
+        SELECT l_orderkey, min(l_linenumber) AS best_line, count(*) AS n_ties
+        FROM (
+            SELECT *, max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS max_price
+            FROM lineitem
+        ) WHERE l_extendedprice = max_price
+        GROUP BY l_orderkey
+    """
+
+    o["q30_union_distinct_nations"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """
+
+    o["q31_top20_orders"] = """
+        SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """
+
+    o["q32_conditional_agg_single_pass"] = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN value > 50 AND user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_even_user
+        FROM events GROUP BY event_type
+    """
+
+    o["q40_string_functions"] = """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               substring(c_name, 1, 8) AS name_prefix,
+               coalesce(regexp_extract(c_name, '(\\d+)', 1), '') AS name_digits,
+               levenshtein(c_name, 'Customer#000000001') AS lev_to_first,
+               concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+               length(c_name) AS name_len
+        FROM customer
+    """
+
+    o["q41_explode_embedding_stats"] = """
+        SELECT pos, round(avg(CAST(val AS DOUBLE)), 4) AS avg_val,
+               round(max(CAST(val AS DOUBLE)), 4) AS max_val, count(*) AS n
+        FROM (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
+            FROM embeddings
+        )
+        GROUP BY pos
+    """
+
+    _norm = "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+    o["q50_exact_dedup"] = f"""
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY {_norm}) AS rep_id,
+               count(*) OVER (PARTITION BY {_norm}) AS group_size
+        FROM documents
+    """
+
+    o["q51_ngram_jaccard_pairs"] = _JACCARD_PAIRS_SQL.replace("__THR__", "0.5")
+    o["q52_minhash_lsh_pairs"] = _JACCARD_PAIRS_SQL.replace("__THR__", "0.8")
+
+    o["q53_cc_clusters"] = f"""
+        WITH {_SHINGLES_CTE},
+        inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+        ),
+        scored AS (
+          SELECT c.id_l, c.id_r,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM cand c JOIN sh a ON c.id_l = a.doc_id JOIN sh b ON c.id_r = b.doc_id
+        ),
+        edges AS (
+          SELECT id_l AS src, id_r AS dst FROM scored WHERE jaccard >= 0.5
+          UNION ALL
+          SELECT id_r, id_l FROM scored WHERE jaccard >= 0.5
+        ),
+        walk AS (
+          SELECT doc_id AS id, doc_id AS reach FROM documents
+          UNION
+          SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+        )
+        SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id
+    """
+    # note: 'WITH' + recursive member requires WITH RECURSIVE in duckdb
+    o["q53_cc_clusters"] = "WITH RECURSIVE " + o["q53_cc_clusters"].strip()[len("WITH "):]
+
+    o["q54_best_match"] = f"""
+        WITH {_SHINGLES_CTE},
+        inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+        ),
+        scored AS (
+          SELECT c.id_l, c.id_r,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM cand c JOIN sh a ON c.id_l = a.doc_id JOIN sh b ON c.id_r = b.doc_id
+          WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.3
+        ),
+        pairs_both AS (
+          SELECT id_l AS id, id_r AS partner, jaccard AS score FROM scored
+          UNION ALL
+          SELECT id_r, id_l, jaccard FROM scored
+        ),
+        with_max AS (
+          SELECT id, partner, score,
+                 max(score) OVER (PARTITION BY id) AS max_score
+          FROM pairs_both
+        ),
+        ranked AS (
+          SELECT id, partner, score, max_score,
+                 sum(CASE WHEN score >= max_score - 0.05 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY id) AS n_close,
+                 row_number() OVER (PARTITION BY id ORDER BY score DESC, partner ASC) AS rn
+          FROM with_max
+        )
+        SELECT id, partner AS best_partner, round(score, 6) AS best_score,
+               n_close > 1 AS close_match
+        FROM ranked WHERE rn = 1
+    """
+
+    o["q60_embedding_neardup"] = """
+        SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """
+
+    o["q61_ann_topk"] = """
+        SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                               c.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
+        ) WHERE rank <= 5
+    """
+
+    o["q62_label_centroid_similarity"] = """
+        WITH exploded AS (
+            SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        centroids AS (
+            SELECT label, pos, avg(val) AS cval FROM exploded GROUP BY label, pos
+        )
+        SELECT e.vec_id, e.label,
+               round(sum(e.val * c.cval) / (sqrt(sum(e.val * e.val)) * sqrt(sum(c.cval * c.cval))), 4) AS centroid_cosine
+        FROM exploded e JOIN centroids c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY e.vec_id, e.label
+    """
+
+    _toks = f"list_filter(string_split({_norm}, ' '), t -> t <> '')"
+    _markers = {
+        lang: "[" + ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[lang]) + "]"
+        for lang in TS.LANG_MARKERS
+    }
+    _ratio = {
+        lang: (
+            f"(CASE WHEN len({_toks}) > 0 THEN "
+            f"len(list_filter({_toks}, t -> list_contains({_markers[lang]}, t)))::DOUBLE / len({_toks}) "
+            f"ELSE 0.0 END)"
+        )
+        for lang in TS.LANG_MARKERS
+    }
+    _best = "greatest(" + ", ".join(_ratio[lang] for lang in TS.LANG_MARKERS) + ")"
+    _pick = "coalesce(" + ", ".join(
+        f"CASE WHEN {_ratio[lang]} = {_best} THEN '{lang}' END" for lang in sorted(TS.LANG_MARKERS)
+    ) + ")"
+
+    o["q70_textstats"] = f"""
+        SELECT doc_id,
+               len({_toks}) AS ws_tokens,
+               len(regexp_extract_all(text, '[\\p{{L}}]+|[\\p{{N}}]+|[^\\s\\p{{L}}\\p{{N}}]')) AS bpe_tokens,
+               round(CASE WHEN len({_toks}) > 0
+                     THEN list_sum(list_transform({_toks}, t -> length(t)))::DOUBLE / len({_toks})
+                     ELSE 0.0 END, 6) AS mean_tok_len,
+               round(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                     THEN length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^\\p{{L}}]', '', 'g'))::DOUBLE
+                          / length(regexp_replace(text, '\\s+', '', 'g'))
+                     ELSE 0.0 END, 6) AS alpha_ratio,
+               round(
+                 least(len({_toks}) / 50.0, 1.0) * 0.25
+                 + (CASE WHEN (CASE WHEN len({_toks}) > 0
+                          THEN list_sum(list_transform({_toks}, t -> length(t)))::DOUBLE / len({_toks})
+                          ELSE 0.0 END) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                     THEN length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^\\p{{L}}]', '', 'g'))::DOUBLE
+                          / length(regexp_replace(text, '\\s+', '', 'g'))
+                     ELSE 0.0 END) * 0.25
+                 + least({_ratio['en']} * 5.0, 1.0) * 0.25
+               , 6) AS quality
+        FROM documents
+    """
+
+    o["q71_lang_id"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_best} > 0 THEN {_pick} ELSE 'und' END AS lang_pred
+        FROM documents
+    """
+
+    o["q72_fingerprint_cardinality"] = f"""
+        SELECT lang, count(DISTINCT {_norm}) AS n_distinct_docs, count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """
+
+    return o

@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set:
+  - dedup_pipeline_synth: full near-dup pipeline (shingle -> minhash -> LSH ->
+    verify -> CC -> canonical) over a deterministic synthetic page corpus
+    sized to the scale factor (the north-star workload; docs/sec derived);
+  - dedup_pipeline_documents: same over the driver's documents table;
+  - representative analytics queries from __spark_entry__ (joins, windows,
+    jaccard pairs, embeddings) at the sf dir.
+
+Each query is materialized with the noop sink (full execution, no driver
+collect). Scaling protocol (N vs 4N cores) lives in tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.plans.pipeline import DedupPipeline
+from nhse_probabilistic_linkage_spark.session import get_spark
+from nhse_probabilistic_linkage_spark.sources.pages import synth_pages
+
+SYNTH_DOCS_PER_SF = 400_000  # sf0.1 -> 40k docs
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_dedup_synth(spark, n_docs: int) -> dict:
+    pages, _truth = synth_pages(spark, n_docs, seed=42)
+    pages = pages.select("url", "text").localCheckpoint(eager=True)  # corpus gen excluded from timing
+    t0 = time.monotonic()
+    pipe = DedupPipeline(spark, DedupConfig())
+    out = pipe.run(pages)
+    n_clusters = out["canonical"].where("is_canonical").count()
+    elapsed = time.monotonic() - t0
+    return {
+        "seconds": elapsed,
+        "docs": n_docs,
+        "docs_per_sec": n_docs / elapsed,
+        "clusters": n_clusters,
+        "stage_seconds": {m.stage: round(m.seconds, 2) for m in pipe.metrics},
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", max(2000, int(SYNTH_DOCS_PER_SF * sf)) if sf > 0 else 40_000))
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + Arrow + python workers
+    spark.range(10_000).selectExpr("sum(id)").collect()
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "q01_pricing_summary",
+        "q03_join3_revenue",
+        "q05_nation_revenue",
+        "q20_top3_orders_per_customer",
+        "q21_running_user_value",
+        "q51_ngram_jaccard_pairs",
+        "q52_minhash_lsh_pairs",
+        "q53_cc_clusters",
+        "q60_embedding_neardup",
+        "q61_ann_topk",
+        "q70_textstats",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    synth = run_dedup_synth(spark, synth_docs)
+    timings["dedup_pipeline_synth"] = round(synth["seconds"], 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "dedup_synth": {
+            "docs": synth["docs"],
+            "docs_per_sec": round(synth["docs_per_sec"], 1),
+            "clusters": synth["clusters"],
+            "stage_seconds": synth["stage_seconds"],
+        },
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

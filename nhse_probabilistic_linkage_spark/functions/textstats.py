@@ -1,0 +1,123 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (the reference computed comparable per-field
+derivations — soundex, outcode regexes, DOB recombinations — partly in scalar
+Python UDFs, utils/preprocessing_utils.py:17-86; we keep everything native so
+it is SQL-mirrorable for the DuckDB oracle and free for Catalyst to push
+around).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.functions.text import normalize_text, tokenize
+
+# Marker stopwords per language for the n-gram/lexicon heuristic. Tiny on
+# purpose: broadcast as literals into the plan, identical lists in the DuckDB
+# oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "que", "por", "con"],
+}
+
+# BPE-ish tokenization: letter runs, digit runs, or single non-space symbols —
+# the standard pre-tokenizer shape (GPT-2-style word/number/punct split).
+BPE_ISH_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(F.regexp_count(c, F.lit(BPE_ISH_PATTERN)), F.lit(0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokenize(text)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_ratio(text, lang) for lang in LANG_MARKERS}
+
+
+def lang_id(text: Column | str, default: str = "und") -> Column:
+    """Argmax language over marker-word hit ratios; 'und' when no marker
+    hits. Deterministic tie-break: lexicographic language code order."""
+    scores = lang_scores(text)
+    best_score = F.greatest(*scores.values())
+    pick = F.coalesce(
+        *[
+            F.when(scores[lang] == best_score, F.lit(lang))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    return F.when(best_score > 0, pick).otherwise(F.lit(default))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Fraction of non-space characters that are letters."""
+    c = F.col(text) if isinstance(text, str) else text
+    no_space = F.regexp_replace(c, r"\s+", "")
+    letters = F.length(F.regexp_replace(no_space, r"[^\p{L}]", ""))
+    return F.when(F.length(no_space) > 0, letters.cast("double") / F.length(no_space)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length band + mean-token-length
+    band + alpha ratio + stopword presence. Gopher-style rules compressed to
+    a deterministic closed form (each term in [0,0.25])."""
+    n_tok = whitespace_token_count(text).cast("double")
+    len_term = F.least(n_tok / 50.0, F.lit(1.0)) * 0.25
+    mtl = mean_token_length(text)
+    mtl_term = F.when((mtl >= 3) & (mtl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+    alpha_term = alpha_ratio(text) * 0.25
+    stop_term = F.least(stopword_ratio(text, lang) * 5.0, F.lit(1.0)) * 0.25
+    return F.round(len_term + mtl_term + alpha_term + stop_term, 6)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """64-bit content fingerprint of the normalized text (exact-dup key)."""
+    return F.xxhash64(normalize_text(text))
+
+
+def rolling_min_fingerprints(text: Column | str, k: int = 16, n: int = 4) -> Column:
+    """Winnowing-style robust fingerprint: the n smallest hashes over the
+    char k-gram rolling window of the normalized text. Survives small edits
+    anywhere outside the selected windows."""
+    c = normalize_text(text)
+    n_chars = F.length(c)
+    grams = F.when(
+        n_chars >= k,
+        F.transform(F.sequence(F.lit(1), n_chars - k + 1), lambda i: F.xxhash64(c.substr(i, F.lit(k)))),
+    ).otherwise(F.array(F.xxhash64(c)))
+    return F.slice(F.array_sort(F.array_distinct(grams)), 1, n)
+
+
+def with_textstats(df, text_col: str = "text"):
+    t = F.col(text_col)
+    return (
+        df.withColumn("ws_tokens", whitespace_token_count(t))
+        .withColumn("bpe_tokens", bpe_ish_token_count(t))
+        .withColumn("mean_tok_len", F.round(mean_token_length(t), 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio(t), 6))
+        .withColumn("stopword_ratio_en", F.round(stopword_ratio(t, "en"), 6))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", doc_fingerprint(t))
+    )
