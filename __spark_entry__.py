@@ -33,6 +33,7 @@ from nhse_probabilistic_linkage_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    substring_dedup_pairs,
 )
 from nhse_probabilistic_linkage_spark.operators.similarity import (
     brute_force_topk,
@@ -380,6 +381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q54_best_match"] = q54_best_match
 
+    def q57_substring_pairs(spark, sf_dir):
+        # detector #3: winnowing candidates (recall 1.0 for spans >= 64 by
+        # the Schleimer et al. guarantee) + suffix-array LCS verify; output
+        # compared against the DuckDB all-64-grams brute-force join
+        docs = _t(spark, sf_dir, "documents")
+        pairs, _ = substring_dedup_pairs(docs, DedupConfig())
+        return pairs.select("id_l", "id_r")
+
+    q["q57_substring_pairs"] = q57_substring_pairs
+
     def q55_simhash_pairs(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return simhash_pairs(docs, DedupConfig()).select("id_l", "id_r", "hamming")
@@ -612,6 +623,20 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) OVER (PARTITION BY {_norm}) AS rep_id,
                count(*) OVER (PARTITION BY {_norm}) AS group_size
         FROM documents
+    """
+
+    # brute-force ground truth for detector #3: two docs pair iff they share
+    # ANY 64-char substring of the normalized text (equivalent to exact
+    # longest-common-substring >= 64, which is what the Spark side verifies)
+    o["q57_substring_pairs"] = f"""
+        WITH n AS (SELECT doc_id, {_norm} AS t FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct([t[i:i+63] for i in range(1, length(t) - 62)])) AS gram
+          FROM n WHERE length(t) >= 64
+        )
+        SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+        FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id
     """
 
     o["q51_ngram_jaccard_pairs"] = _JACCARD_PAIRS_SQL.replace("__THR__", "0.5")

@@ -1,0 +1,132 @@
+"""spark-submit entry point: end-to-end near-duplicate detection + clustering.
+
+The production deployment shape demanded by the north rule: the engine ships
+as a --py-files zip (tools/make_pyfiles.py) and this driver runs on any
+multi-executor cluster. Reference analog: run_pipeline.py orchestrating
+parameterized notebooks (/root/reference/run_pipeline.py:59-84) — here one
+argparse CLI instead of dbutils widgets JSON.
+
+Usage:
+  spark-submit --py-files /tmp/nhse_dedup_spark.zip jobs/run_dedup.py \
+      --input  <parquet dir or table of pages (url, text[, html, warc_ts, lang])> \
+      --output <dir for clusters/canonical/pairs/metrics parquet> \
+      [--checkpoint-dir <dir>]      resumable per-stage checkpoints
+      [--config-json '<DedupConfig json>']
+      [--detectors minhash,substring]   any of: minhash, simhash, substring
+      [--synth N]                    generate an N-doc synthetic corpus instead
+                                     of --input (bench/smoke path)
+
+Edges from every requested detector are unioned before connected components —
+the detectors are interchangeable candidate generators behind one pair
+schema (id_l, id_r).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.operators.dedup import (
+    simhash_pairs,
+    substring_dedup_pairs,
+)
+from nhse_probabilistic_linkage_spark.plans.pipeline import DedupPipeline
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="near-duplicate detection + clustering")
+    p.add_argument("--input", help="parquet path of pages")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--config-json", default=None)
+    p.add_argument("--detectors", default="minhash")
+    p.add_argument("--synth", type=int, default=None, help="synthetic corpus size")
+    p.add_argument("--synth-seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    args = parse_args(argv)
+    if not args.input and not args.synth:
+        raise SystemExit("one of --input / --synth is required")
+
+    spark = SparkSession.builder.appName("nhse-dedup-run").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = DedupConfig.from_json(args.config_json) if args.config_json else DedupConfig()
+    detectors = [d.strip() for d in args.detectors.split(",") if d.strip()]
+    unknown = set(detectors) - {"minhash", "simhash", "substring"}
+    if unknown:
+        raise SystemExit(f"unknown detectors: {sorted(unknown)}")
+
+    if args.synth:
+        from nhse_probabilistic_linkage_spark.sources.pages import synth_pages
+
+        pages, _ = synth_pages(spark, args.synth, seed=args.synth_seed)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    t0 = time.monotonic()
+    pages = pages.withColumn("doc_id", F.xxhash64("url"))
+
+    # minhash runs inside the (checkpointed, resumable) pipeline; the other
+    # detectors contribute extra edges before clustering
+    pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
+    out = pipe.run(pages)
+
+    edges = out["verified"].select("id_l", "id_r") if "minhash" in detectors else None
+    extra_counts = {}
+    if "simhash" in detectors:
+        sh = simhash_pairs(pages, cfg).select("id_l", "id_r")
+        extra_counts["simhash_pairs"] = sh.count()
+        edges = sh if edges is None else edges.unionByName(sh)
+    if "substring" in detectors:
+        ss, ss_dropped = substring_dedup_pairs(pages, cfg)
+        ss = ss.select("id_l", "id_r")
+        extra_counts["substring_pairs"] = ss.count()
+        extra_counts["substring_dropped_bands"] = ss_dropped.count()
+        edges = ss if edges is None else edges.unionByName(ss)
+
+    if set(detectors) != {"minhash"}:
+        # re-cluster over the union of detector edges
+        from nhse_probabilistic_linkage_spark.operators.connected_components import (
+            assign_components,
+        )
+
+        clusters = assign_components(
+            out["prepared"], edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+        )
+    else:
+        clusters = out["clusters"]
+
+    os.makedirs(args.output, exist_ok=True)
+    clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
+    out["verified"].write.mode("overwrite").parquet(os.path.join(args.output, "pairs"))
+    out["canonical"].write.mode("overwrite").parquet(os.path.join(args.output, "canonical"))
+    pipe.metrics_df().write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
+
+    elapsed = time.monotonic() - t0
+    n_docs = out["prepared"].count()
+    summary = {
+        "docs": n_docs,
+        "seconds": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "verified_pairs": out["verified"].count(),
+        "clusters": clusters.select("cluster_id").distinct().count(),
+        "detectors": detectors,
+        **extra_counts,
+        "stage_seconds": {m.stage: round(m.seconds, 2) for m in pipe.metrics},
+    }
+    print("SUMMARY " + json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

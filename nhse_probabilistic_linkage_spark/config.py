@@ -36,7 +36,18 @@ class DedupConfig:
     # /root/reference/notebooks_dedupe/blocking_evaluation_dedupe.py:91-117).
     # Drops are counted and logged — never silent.
     band_cap: int = 5000
+    # Hot-band salting (north rule: "salted band keys"): bands larger than
+    # salt_threshold but under the cap keep ALL their pairs, with the self-
+    # join spread over salt_groups tasks via (band_key, salt) composite keys.
+    salt_threshold: int = 500
+    salt_groups: int = 8
     minhash_seed: int = 42
+    # Detector #3 (suffix-array substring pass): exact shared-span threshold
+    # in normalized characters, and the winnowing k-gram width. The winnowing
+    # window is derived (W = min_span - kgram + 1) so candidate recall for
+    # spans >= substr_min_span is exactly 1.0.
+    substr_min_span: int = 64
+    substr_kgram: int = 16
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
     # Close-match window for canonical-doc election (reference analog:

@@ -17,6 +17,7 @@ from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
 from nhse_probabilistic_linkage_spark.functions.simhash import with_simhash
 from nhse_probabilistic_linkage_spark.operators.lsh import band_keys, candidate_pairs
 from nhse_probabilistic_linkage_spark.operators.simhash_lsh import simhash_block_keys, verify_hamming
+from nhse_probabilistic_linkage_spark.operators.substring import substring_pairs
 from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
 
 
@@ -59,7 +60,8 @@ def minhash_lsh_pairs(
     bands = band_keys(
         docs, id_col=id_col, bands=config.bands, rows_per_band=config.rows_per_band
     )
-    cands, dropped = candidate_pairs(bands, id_col=id_col, band_cap=config.band_cap)
+    cands, dropped = candidate_pairs(bands, id_col=id_col, band_cap=config.band_cap,
+                                     salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
     verified = verify_pairs(
         cands, docs, id_col=id_col, threshold=config.jaccard_threshold
     )
@@ -76,7 +78,8 @@ def simhash_pairs(
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
     docs = with_simhash(docs)
     blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
-    cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap)
+    cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap,
+                                salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
     return verify_hamming(cands, docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
 
 
@@ -102,3 +105,22 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return verify_pairs(cand, docs, id_col=id_col, threshold=threshold)
+
+
+def substring_dedup_pairs(
+    df: DataFrame,
+    config: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """text -> pairs sharing an exact normalized span >= config.substr_min_span
+    (detector #3: winnowing candidates + suffix-array LCS verify). Returns
+    (pairs, dropped_bands)."""
+    return substring_pairs(
+        df,
+        min_span=config.substr_min_span,
+        kgram=config.substr_kgram,
+        id_col=id_col,
+        text_col=text_col,
+        band_cap=config.band_cap,
+    )

@@ -58,37 +58,78 @@ def oversized_bands(bands_df: DataFrame, band_cap: int) -> DataFrame:
     )
 
 
+def _self_join_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    left = bands.select("band_key", "band_id", F.col(id_col).alias("id_l"))
+    right = bands.select("band_key", F.col(id_col).alias("id_r"))
+    return left.join(right, "band_key").where(F.col("id_l") < F.col("id_r"))
+
+
+def _salted_self_join_pairs(bands: DataFrame, id_col: str, salt_groups: int) -> DataFrame:
+    """Skew-breaking self-join for hot bands: split a band of m members into
+    g salt groups; the left side carries its group id, the right side is
+    replicated to every group, and the join key becomes (band_key, gid) — so
+    the single O(m^2) task becomes g tasks of O(m^2/g) each. Every unordered
+    pair survives exactly once: pair (a, b) with a < b matches only where
+    left = a (right's replica tagged gid(a)); the mirrored row fails
+    id_l < id_r. Replication cost is g x right rows, paid only for hot bands.
+    """
+    g = F.lit(salt_groups)
+    left = bands.select(
+        "band_key",
+        "band_id",
+        F.col(id_col).alias("id_l"),
+        F.pmod(F.xxhash64(id_col), g).alias("gid"),
+    )
+    right = bands.select(
+        "band_key",
+        F.col(id_col).alias("id_r"),
+        F.explode(F.sequence(F.lit(0), g - 1)).alias("gid"),
+    )
+    return left.join(right, ["band_key", "gid"]).where(F.col("id_l") < F.col("id_r")).drop("gid")
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     id_col: str = "doc_id",
     band_cap: int | None = 5000,
+    salt_threshold: int | None = 500,
+    salt_groups: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join band table -> unique candidate pairs (id_l < id_r, match_key).
 
-    Returns (pairs, dropped_bands) where dropped_bands is the capped-band
-    accounting table (band_key, band_size) — empty when no band exceeded the
-    cap. Callers log/persist it; recall loss is only ever explicit.
-    """
-    dropped = (
-        oversized_bands(bands_df, band_cap)
-        if band_cap is not None
-        else bands_df.sparkSession.createDataFrame([], "band_key bigint, band_size bigint")
-    )
-    kept = bands_df.join(F.broadcast(dropped.select("band_key")), "band_key", "left_anti")
+    Skew handling, in escalating order (north-rule requirement — "skew from
+    hot LSH bands handled explicitly via salted band keys [and] band-size
+    caps with documented recall accounting"):
+      size <= salt_threshold   plain self-join on band_key (AQE coalesces);
+      size in (salt_threshold, band_cap]   salted join — all pairs kept, the
+                               hot band's work spread over salt_groups tasks;
+      size > band_cap          dropped entirely, returned in the accounting
+                               table (band_key, band_size) — NEVER silent.
 
-    left = kept.select(
-        F.col("band_key"),
-        F.col("band_id"),
-        F.col(id_col).alias("id_l"),
-    )
-    right = kept.select(
-        F.col("band_key"),
-        F.col(id_col).alias("id_r"),
-    )
-    pairs = (
-        left.join(right, "band_key")
-        .where(F.col("id_l") < F.col("id_r"))
-        .groupBy("id_l", "id_r")
-        .agg(F.min("band_id").alias("match_key"))
-    )
+    The size histogram is one map-side-combinable groupBy; the hot/dropped
+    key lists are tiny by construction, so they broadcast.
+    """
+    spark = bands_df.sparkSession
+    sizes = bands_df.groupBy("band_key").agg(F.count("*").alias("band_size"))
+    if band_cap is not None:
+        dropped = sizes.filter(F.col("band_size") > band_cap)
+        kept = bands_df.join(F.broadcast(dropped.select("band_key")), "band_key", "left_anti")
+    else:
+        dropped = spark.createDataFrame([], "band_key bigint, band_size bigint")
+        kept = bands_df
+
+    if salt_threshold is not None:
+        hot_cond = F.col("band_size") > salt_threshold
+        if band_cap is not None:
+            hot_cond = hot_cond & (F.col("band_size") <= band_cap)
+        hot_keys = sizes.filter(hot_cond).select("band_key")
+        cold = kept.join(F.broadcast(hot_keys), "band_key", "left_anti")
+        hot = kept.join(F.broadcast(hot_keys), "band_key", "left_semi")
+        raw = _self_join_pairs(cold, id_col).unionByName(
+            _salted_self_join_pairs(hot, id_col, salt_groups)
+        )
+    else:
+        raw = _self_join_pairs(kept, id_col)
+
+    pairs = raw.groupBy("id_l", "id_r").agg(F.min("band_id").alias("match_key"))
     return pairs, dropped

@@ -1,0 +1,88 @@
+"""Detector #3: suffix-array substring-duplicate pass for long shared spans.
+
+Two stages, mirroring the block -> score shape of the reference pipeline
+(blocking rules /root/reference/parameters_dedupe.py:26-44 -> Splink scoring
+predict_dedupe.py:93), but for character-span duplication instead of field
+agreement:
+
+  candidates  winnowing fingerprints (functions/winnow.py) exploded to
+              (doc_id, band_key) and self-joined through the SAME
+              candidate_pairs() machinery as the MinHash bands — so the
+              hot-key cap/salting and pair-dedup logic is shared. The
+              winnowing guarantee makes this stage recall-1.0 for spans
+              >= min_span normalized characters.
+  verify      exact longest-common-substring per pair via a numpy
+              suffix-array + Kasai LCP kernel (functions/suffix.py);
+              pairs with span_len >= min_span survive.
+
+Output: (id_l, id_r, span_len). Feed into connected components together
+with (or instead of) the MinHash/SimHash pair tables — the three detectors
+are interchangeable behind the same pair schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.functions.suffix import make_lcs_udf
+from nhse_probabilistic_linkage_spark.functions.text import normalize_text
+from nhse_probabilistic_linkage_spark.functions.winnow import with_fingerprints
+from nhse_probabilistic_linkage_spark.operators.lsh import candidate_pairs
+
+
+def fingerprint_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprints",
+) -> DataFrame:
+    """Explode fingerprints to the (id, band_id, band_key) shape shared with
+    the LSH band table, so candidate_pairs() (cap + salt + dedup) is reused.
+    band_id is 0 — fingerprints are one logical blocking rule."""
+    return docs.select(
+        F.col(id_col),
+        F.lit(0).alias("band_id"),
+        F.explode(fp_col).alias("band_key"),
+    )
+
+
+def substring_pairs(
+    df: DataFrame,
+    min_span: int = 64,
+    kgram: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_cap: int | None = 5000,
+    normalized: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """text -> pairs sharing an exact normalized-character span >= min_span.
+
+    Returns (pairs, dropped_bands): pairs = (id_l, id_r, span_len); dropped
+    bands = hot-fingerprint accounting (boilerplate spans shared by huge doc
+    sets get capped exactly like hot LSH bands — counted, never silent).
+
+    Winnowing window W = min_span - kgram + 1 gives the published guarantee
+    threshold t = W + kgram - 1 = min_span.
+    """
+    if min_span <= kgram:
+        raise ValueError(f"min_span ({min_span}) must exceed kgram ({kgram})")
+    window = min_span - kgram + 1
+
+    norm = F.col(text_col) if normalized else normalize_text(F.col(text_col))
+    docs = df.select(F.col(id_col), norm.alias("norm_text"))
+    docs = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window)
+
+    cands, dropped = candidate_pairs(
+        fingerprint_keys(docs, id_col=id_col), id_col=id_col, band_cap=band_cap
+    )
+
+    slim = docs.select(F.col(id_col), F.col("norm_text"))
+    lcs = make_lcs_udf()
+    pairs = (
+        cands.join(slim.select(F.col(id_col).alias("id_l"), F.col("norm_text").alias("_t_l")), "id_l")
+        .join(slim.select(F.col(id_col).alias("id_r"), F.col("norm_text").alias("_t_r")), "id_r")
+        .withColumn("span_len", lcs(F.col("_t_l"), F.col("_t_r")))
+        .drop("_t_l", "_t_r", "match_key")
+        .where(F.col("span_len") >= min_span)
+    )
+    return pairs, dropped

@@ -159,7 +159,8 @@ class DedupPipeline:
         bands = band_keys(
             signatures, id_col=self.id_col, bands=cfg.bands, rows_per_band=cfg.rows_per_band
         )
-        cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap)
+        cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap,
+                                         salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups)
         pairs = self._materialize(cands, "pairs", manifest)
         n_dropped = dropped.count()
         if n_dropped:

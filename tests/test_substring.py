@@ -1,0 +1,147 @@
+"""Detector #3 tests: suffix-array LCS kernel vs brute force, winnowing
+guarantee, and the end-to-end substring_pairs operator on a planted corpus.
+
+Reference test analog: operator-level golden tests with tiny explicit
+fixtures (tests/preprocessing_tests.py style) plus blocking-coverage
+assertions (every true pair must share >= 1 blocking key,
+utils/eval_utils.py:473 missed_duplicate accounting).
+"""
+
+import random
+from difflib import SequenceMatcher
+
+import numpy as np
+import pytest
+
+from nhse_probabilistic_linkage_spark.functions.suffix import (
+    kasai_lcp,
+    longest_common_substring,
+    suffix_array,
+)
+from nhse_probabilistic_linkage_spark.functions.text import normalize_text
+from nhse_probabilistic_linkage_spark.functions.winnow import (
+    kgram_hashes,
+    winnow_fingerprints,
+)
+from nhse_probabilistic_linkage_spark.operators.substring import substring_pairs
+
+
+# ---------------------------------------------------------------- kernels
+def _brute_lcs(a: str, b: str) -> int:
+    m = SequenceMatcher(None, a, b, autojunk=False).find_longest_match(0, len(a), 0, len(b))
+    return m.size
+
+
+def test_suffix_array_banana():
+    s = np.frombuffer("banana".encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sa = suffix_array(s)
+    assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+    lcp = kasai_lcp(s, sa)
+    assert lcp.tolist() == [0, 1, 3, 0, 0, 2]
+
+
+def test_lcs_exact_cases():
+    assert longest_common_substring("", "") == 0
+    assert longest_common_substring("abc", "") == 0
+    assert longest_common_substring("abc", "xyz") == 0
+    assert longest_common_substring("abc", "abc") == 3
+    assert longest_common_substring("xxhello worldyy", "zzhello worldqq") == len("hello world")
+    # repeated structure
+    assert longest_common_substring("abababab", "babababa") == 7
+
+
+def test_lcs_matches_bruteforce_random():
+    rng = random.Random(1234)
+    alpha = "abcd "
+    for _ in range(60):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        assert longest_common_substring(a, b) == _brute_lcs(a, b), (a, b)
+
+
+def test_lcs_planted_span():
+    rng = random.Random(7)
+    span = "".join(rng.choice("qwertyuiopasdfghjkl") for _ in range(200))
+    a = "".join(rng.choice("zxcvbnm") for _ in range(300)) + span + "12345"
+    b = "67890" + span + "".join(rng.choice("zxcvbnm") for _ in range(150))
+    assert longest_common_substring(a, b) == 200
+
+
+def test_kgram_rolling_hash_consistency():
+    # same k-gram content -> same hash regardless of position/surrounding
+    c1 = np.frombuffer("XXabcdefghYY".encode("utf-32-le"), dtype=np.uint32)
+    c2 = np.frombuffer("ZabcdefghW".encode("utf-32-le"), dtype=np.uint32)
+    h1 = kgram_hashes(c1, 8)
+    h2 = kgram_hashes(c2, 8)
+    assert h1[2] == h2[1]  # both hash "abcdefgh"
+    assert kgram_hashes(np.frombuffer("ab".encode("utf-32-le"), dtype=np.uint32), 8).size == 0
+
+
+def test_winnowing_guarantee_planted_spans():
+    """Published guarantee: shared span >= W + k - 1 chars => shared
+    fingerprint. Fuzz with random contexts around a shared span."""
+    k, window = 16, 49
+    t = window + k - 1  # 64
+    rng = random.Random(99)
+    alpha = "abcdefghij "
+    for trial in range(40):
+        span = "".join(rng.choice(alpha) for _ in range(t))
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 200))) + span + "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 200))
+        )
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 200))) + span + "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 200))
+        )
+        fa = set(winnow_fingerprints(a, k, window).tolist())
+        fb = set(winnow_fingerprints(b, k, window).tolist())
+        assert fa & fb, f"trial {trial}: guarantee violated"
+
+
+def test_winnowing_short_text_min():
+    k, window = 16, 49
+    fp = winnow_fingerprints("abcdefghijklmnopqr", k, window)  # 18 chars, 3 kgrams
+    assert fp.size == 1
+    assert winnow_fingerprints("short", k, window).size == 0  # < k chars
+
+
+# ------------------------------------------------------------- end-to-end
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    rng = random.Random(4242)
+    vocab = "spark shuffle partition join scan filter window merge sort hash".split()
+
+    def words(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    shared_a = words(30)  # ~180 normalized chars, well over min_span=64
+    shared_b = words(25)
+    rows = [
+        (1, words(40) + " " + shared_a + " " + words(10)),
+        (2, words(5) + " " + shared_a + " " + words(50)),
+        (3, shared_b + " " + words(60)),
+        (4, words(35) + " " + shared_b),
+        (5, words(80)),  # unrelated
+        (6, words(3)),   # too short to fingerprint
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_pairs_end_to_end(spark, span_corpus):
+    pairs, dropped = substring_pairs(span_corpus, min_span=64)
+    got = {(r["id_l"], r["id_r"]): r["span_len"] for r in pairs.collect()}
+    assert set(got) == {(1, 2), (3, 4)}
+    assert dropped.count() == 0
+    # span_len is the exact LCS of the normalized texts
+    docs = {
+        r["doc_id"]: r["nt"]
+        for r in span_corpus.select("doc_id", normalize_text("text").alias("nt")).collect()
+    }
+    for (l, r), span in got.items():
+        assert span == _brute_lcs(docs[l], docs[r])
+        assert span >= 64
+
+
+def test_substring_pairs_deterministic_across_partitioning(spark, span_corpus):
+    p1, _ = substring_pairs(span_corpus.repartition(1), min_span=64)
+    p8, _ = substring_pairs(span_corpus.repartition(8), min_span=64)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p8.collect()))
