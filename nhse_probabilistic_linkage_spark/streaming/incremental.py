@@ -1,0 +1,162 @@
+"""Incremental near-duplicate detection over a page stream.
+
+The reference is pure batch (SURVEY.md §2.11: no readStream/writeStream
+anywhere in the repo); its incremental story is "re-run the notebooks".
+This module adds the streaming capability a crawl pipeline actually needs:
+new pages arrive continuously, and each micro-batch must be deduplicated
+against BOTH itself and every page seen so far — without ever re-scoring
+old-vs-old.
+
+Design (Structured Streaming + foreachBatch, the idiomatic shape for
+stream-static interaction that needs multi-step batch logic):
+
+  stream of pages ──▶ foreachBatch:
+      1. drop docs whose doc_id (xxhash64(url)) is already in the store
+      2. shingle + MinHash the genuinely-new docs (same kernels as batch)
+      3. band-join:  new x new   (candidate_pairs — caps/salting included)
+                   + new x old   (join against the persisted band store)
+      4. exact-Jaccard verify (shingles of old docs come from the store)
+      5. append verified pairs;  append new doc signatures+bands to store
+
+The store is two parquet tables under `state_dir`:
+  sigs/   (doc_id, shingles, minhash)          — verify-side lookup
+  bands/  (doc_id, band_id, band_key, bucket)  — candidate-side lookup,
+          partitioned by bucket = pmod(band_key, n_buckets) so the new-vs-old
+          band join prunes to the buckets the current batch actually touches
+          (partition pruning via an IN filter on the tiny distinct-bucket
+          list; at 10^12-doc scale this is the difference between scanning
+          the whole band history and a few percent of it).
+
+Clusters are NOT maintained incrementally — connected components is a cheap
+global pass over the (append-only) verified-pairs table; call recluster()
+when cluster assignments are needed (same policy as the batch pipeline:
+clustering is a downstream consumer of the pair table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
+from nhse_probabilistic_linkage_spark.functions.text import prepare_docs
+from nhse_probabilistic_linkage_spark.operators.connected_components import assign_components
+from nhse_probabilistic_linkage_spark.operators.lsh import band_keys, candidate_pairs
+from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
+
+PAIRS_SCHEMA = "id_l long, id_r long, match_key int, jaccard double"
+
+
+class IncrementalDedup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        config: DedupConfig | None = None,
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.config = config or DedupConfig()
+        self.n_buckets = n_buckets
+        self.sigs_path = os.path.join(state_dir, "sigs")
+        self.bands_path = os.path.join(state_dir, "bands")
+        self.pairs_path = os.path.join(state_dir, "pairs")
+
+    # -- store access ---------------------------------------------------------
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") or f.startswith("bucket=") or f == "_SUCCESS"
+            for f in os.listdir(path)
+        ):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def stored_sigs(self) -> DataFrame:
+        return self._read_or_empty(self.sigs_path, "doc_id long, shingles array<bigint>, minhash array<bigint>")
+
+    def stored_bands(self) -> DataFrame:
+        return self._read_or_empty(self.bands_path, "doc_id long, band_id int, band_key long, bucket int")
+
+    def verified_pairs(self) -> DataFrame:
+        return self._read_or_empty(self.pairs_path, PAIRS_SCHEMA)
+
+    # -- the micro-batch body ---------------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        cfg = self.config
+        if "doc_id" not in batch.columns:
+            batch = batch.withColumn("doc_id", F.xxhash64("url"))
+
+        old_sigs = self.stored_sigs()
+        new = (
+            batch.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])  # same url twice within a batch
+            .join(old_sigs.select("doc_id"), "doc_id", "left_anti")  # already seen
+        )
+
+        docs = prepare_docs(new, text_col="text", k=cfg.shingle_k).select("doc_id", "shingles")
+        docs = with_minhash(docs, num_perms=cfg.num_perms, seed=cfg.minhash_seed)
+        docs = docs.localCheckpoint(eager=True)  # cut lineage; reused 4x below
+        if docs.isEmpty():
+            return
+
+        nb = band_keys(docs, bands=cfg.bands, rows_per_band=cfg.rows_per_band)
+        nb = nb.withColumn("bucket", F.pmod("band_key", F.lit(self.n_buckets)).cast("int"))
+        nb = nb.localCheckpoint(eager=True)
+
+        # new x new — full skew machinery
+        nn_cands, _ = candidate_pairs(
+            nb, band_cap=cfg.band_cap, salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups
+        )
+        nn = verify_pairs(nn_cands, docs, threshold=cfg.jaccard_threshold)
+
+        # new x old — bucket-pruned scan of the band history
+        touched = [r["bucket"] for r in nb.select("bucket").distinct().collect()]
+        ob = self.stored_bands().where(F.col("bucket").isin(touched))
+        no_cands = (
+            nb.select("band_key", "band_id", F.col("doc_id").alias("id_new"))
+            .join(ob.select("band_key", F.col("doc_id").alias("id_old")), "band_key")
+            .select(
+                F.least("id_new", "id_old").alias("id_l"),
+                F.greatest("id_new", "id_old").alias("id_r"),
+                "band_id",
+            )
+            .groupBy("id_l", "id_r")
+            .agg(F.min("band_id").alias("match_key"))
+        )
+        # verify against mixed sides: shingles live in the batch for new ids,
+        # in the store for old ids — union covers both.
+        all_sh = docs.select("doc_id", "shingles").unionByName(
+            old_sigs.select("doc_id", "shingles")
+        )
+        no = verify_pairs(no_cands, all_sh, threshold=cfg.jaccard_threshold)
+
+        out = nn.unionByName(no).select(
+            "id_l", "id_r", F.col("match_key").cast("int").alias("match_key"), "jaccard"
+        )
+        out.write.mode("append").parquet(self.pairs_path)
+        docs.select("doc_id", "shingles", "minhash").write.mode("append").parquet(self.sigs_path)
+        nb.select("doc_id", "band_id", "band_key", "bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(self.bands_path)
+
+    # -- wiring ----------------------------------------------------------------
+    def start(self, stream: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
+        """Attach to a streaming DataFrame of pages and run until the source
+        is drained (availableNow) or indefinitely."""
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def recluster(self) -> DataFrame:
+        """Global cluster assignment over all docs seen so far."""
+        return assign_components(
+            self.stored_sigs().select("doc_id"),
+            self.verified_pairs().select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")),
+        )

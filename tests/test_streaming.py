@@ -1,0 +1,80 @@
+"""Incremental (streaming) dedup: cross-batch pair completeness vs the batch
+detector, idempotent re-delivery, and a real readStream smoke run.
+
+The key property: streaming the corpus in K micro-batches finds EXACTLY the
+pairs the batch detector finds on the full corpus — new x new within each
+batch plus new x old against the store, never old x old twice.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.operators.dedup import minhash_lsh_pairs
+from nhse_probabilistic_linkage_spark.sources.pages import synth_pages
+from nhse_probabilistic_linkage_spark.streaming import IncrementalDedup
+
+CFG = DedupConfig(jaccard_threshold=0.7)
+
+
+def _pairset(df):
+    return {(r["id_l"], r["id_r"]) for r in df.select("id_l", "id_r").collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages, _ = synth_pages(spark, 400, seed=17, partitions=4)
+    return pages.withColumn("doc_id", F.xxhash64("url")).select("doc_id", "url", "text").cache()
+
+
+def test_incremental_matches_batch(spark, corpus, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("state"))
+    inc = IncrementalDedup(spark, state, CFG)
+
+    b1 = corpus.where("pmod(doc_id, 3) = 0")
+    b2 = corpus.where("pmod(doc_id, 3) = 1")
+    b3 = corpus.where("pmod(doc_id, 3) = 2")
+    for i, b in enumerate([b1, b2, b3]):
+        inc.process_batch(b, i)
+
+    batch_pairs, _ = minhash_lsh_pairs(corpus, CFG)
+    assert _pairset(inc.verified_pairs()) == _pairset(batch_pairs)
+
+    # clusters over the streamed pairs match the batch clusters
+    clusters = {(r["doc_id"], r["cluster_id"]) for r in inc.recluster().collect()}
+    assert len(clusters) == corpus.count()
+
+
+def test_redelivery_is_idempotent(spark, corpus, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("state"))
+    inc = IncrementalDedup(spark, state, CFG)
+    half = corpus.limit(200)
+    inc.process_batch(half, 0)
+    n_pairs = inc.verified_pairs().count()
+    n_sigs = inc.stored_sigs().count()
+    inc.process_batch(half, 1)  # redelivered batch: all docs already seen
+    assert inc.verified_pairs().count() == n_pairs
+    assert inc.stored_sigs().count() == n_sigs
+
+
+def test_readstream_available_now(spark, corpus, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("src"))
+    state = str(tmp_path_factory.mktemp("state"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    # two source files -> two micro-batches with maxFilesPerTrigger=1
+    corpus.where("pmod(doc_id, 2) = 0").coalesce(1).write.parquet(os.path.join(src, "f1"))
+    corpus.where("pmod(doc_id, 2) = 1").coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    inc = IncrementalDedup(spark, state, CFG)
+    q = inc.start(stream, checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+
+    batch_pairs, _ = minhash_lsh_pairs(corpus, CFG)
+    assert _pairset(inc.verified_pairs()) == _pairset(batch_pairs)
