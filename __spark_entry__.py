@@ -222,6 +222,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q12_order_counts_outer"] = q12_order_counts_outer
 
+    def q13_null_handling(spark, sf_dir):
+        # coalesce / fillna / null-safe equality (SURVEY §2.2: eqNullSafe,
+        # reference tests/function_test_suite.py:140)
+        e = _t(spark, sf_dir, "events")
+        return e.select(
+            "event_id",
+            F.coalesce(F.col("value").cast("double"), F.lit(-1.0)).alias("value_filled"),
+            F.col("value").isNull().alias("value_missing"),
+            F.col("value").eqNullSafe(F.lit(None).cast("double")).alias("null_safe_eq_null"),
+        )
+
+    q["q13_null_handling"] = q13_null_handling
+
+    def q14_date_ops(spark, sf_dir):
+        # date extraction/truncation arithmetic (SURVEY §2.8 date/time)
+        o = _t(spark, sf_dir, "orders")
+        return o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofweek("o_orderdate").alias("order_dow"),
+            F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("quarter_start"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_eoy"),
+        )
+
+    q["q14_date_ops"] = q14_date_ops
+
     # ---- windows (SURVEY §2.5)
     def q20_top3_orders_per_customer(spark, sf_dir):
         o = _t(spark, sf_dir, "orders")
@@ -279,6 +306,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q23_max_over_partition"] = q23_max_over_partition
 
+    def q24_growing_frame_accumulate(spark, sf_dir):
+        # growing-frame collect_list — the reference's close-match NHS-number
+        # accumulation window (utils/model_utils.py:224-236): default frame
+        # unboundedPreceding->currentRow with a deterministic total ordering
+        e = _t(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return e.select(
+            "event_id",
+            "user_id",
+            F.concat_ws(",", F.collect_list("event_type").over(w)).alias("type_trail"),
+            F.size(F.collect_list("event_type").over(w)).alias("trail_len"),
+        )
+
+    q["q24_growing_frame_accumulate"] = q24_growing_frame_accumulate
+
     # ---- set ops / sort-limit / conditional agg (SURVEY §2.6, §2.7)
     def q30_union_distinct_nations(spark, sf_dir):
         c = _t(spark, sf_dir, "customer")
@@ -314,6 +360,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q32_conditional_agg_single_pass"] = q32_conditional_agg_single_pass
 
+    def q33_distinct_projection(spark, sf_dir):
+        # dropDuplicates on a projected subset (SURVEY §2.2: dropDuplicates,
+        # reference utils/dataset_ingestion_utils.py:257,342)
+        e = _t(spark, sf_dir, "events")
+        return e.select("user_id", "event_type").dropDuplicates()
+
+    q["q33_distinct_projection"] = q33_distinct_projection
+
     # ---- string / array functions (SURVEY §2.8)
     def q40_string_functions(spark, sf_dir):
         c = _t(spark, sf_dir, "customer")
@@ -342,6 +396,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q41_explode_embedding_stats"] = q41_explode_embedding_stats
+
+    def q42_array_ops(spark, sf_dir):
+        # array function family (SURVEY §2.8: array_distinct/intersect/
+        # contains/size/remove — reference utils/preprocessing_utils.py:176,
+        # 199, utils/parameter_lists.py:33,41)
+        docs = _t(spark, sf_dir, "documents")
+        toks = F.split(normalize_text(F.col("text")), " ")
+        stop = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
+        return docs.select(
+            "doc_id",
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+            F.array_contains(toks, "data").alias("has_data"),
+            F.size(F.array_intersect(F.array_distinct(toks), stop)).alias("n_stopword_kinds"),
+            F.size(F.array_remove(toks, "the")).alias("n_tokens_no_the"),
+        )
+
+    q["q42_array_ops"] = q42_array_ops
 
     # ---- dedup suite (north-star operators)
     def q50_exact_dedup(spark, sf_dir):
@@ -541,6 +612,37 @@ def oracle_sql() -> dict[str, str]:
         ) per ON c_custkey = per.o_custkey
     """
 
+    o["q13_null_handling"] = """
+        SELECT event_id,
+               coalesce(CAST(value AS DOUBLE), -1.0) AS value_filled,
+               value IS NULL AS value_missing,
+               CAST(value AS DOUBLE) IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS null_safe_eq_null
+        FROM events
+    """
+
+    o["q14_date_ops"] = """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+               strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy
+        FROM orders
+    """
+
+    o["q24_growing_frame_accumulate"] = """
+        SELECT event_id, user_id,
+               array_to_string(list(event_type) OVER w, ',') AS type_trail,
+               CAST(len(list(event_type) OVER w) AS INT) AS trail_len
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    o["q33_distinct_projection"] = """
+        SELECT DISTINCT user_id, event_type FROM events
+    """
+
     o["q20_top3_orders_per_customer"] = """
         SELECT o_custkey, o_orderkey,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
@@ -618,6 +720,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _norm = "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+
+    o["q42_array_ops"] = f"""
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split({_norm}, ' '))) AS INT) AS n_unique_tokens,
+               list_contains(string_split({_norm}, ' '), 'data') AS has_data,
+               CAST(len(list_intersect(list_distinct(string_split({_norm}, ' ')),
+                                        ['the', 'and', 'of'])) AS INT) AS n_stopword_kinds,
+               CAST(len(list_filter(string_split({_norm}, ' '), t -> t <> 'the')) AS INT) AS n_tokens_no_the
+        FROM documents
+    """
+
     o["q50_exact_dedup"] = f"""
         SELECT doc_id,
                min(doc_id) OVER (PARTITION BY {_norm}) AS rep_id,

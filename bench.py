@@ -97,6 +97,7 @@ def main() -> None:
         t0 = time.monotonic()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+        spark.catalog.clearCache()  # queries are independent; no cross-talk
 
     synth = run_dedup_synth(spark, synth_docs)
     timings["dedup_pipeline_synth"] = round(synth["seconds"], 3)

@@ -70,11 +70,19 @@ def prepare_docs(df, text_col: str = "text", k: int = 5, keep_shingle_strings: b
     """Attach `shingles` (array<bigint>) to a document DataFrame.
 
     One pass, all native; column-pruned by Catalyst if callers select less.
+
+    The token array is materialized as its own projection step: `shingles()`
+    references its input 4 times, and lambda-bearing expressions are opaque
+    to codegen subexpression elimination — inlining would normalize+split
+    the text 5 times per row (verified via .explain; CollapseProject keeps
+    non-cheap multi-referenced aliases in separate Projects, so this stays
+    one evaluation).
     """
-    toks = tokenize(F.col(text_col))
-    sh_strings = shingles(toks, k)
-    out = df.withColumn("_sh_str", sh_strings).withColumn(
-        "shingles", shingle_hashes(F.col("_sh_str"))
+    out = (
+        df.withColumn("_toks", tokenize(F.col(text_col)))
+        .withColumn("_sh_str", shingles(F.col("_toks"), k))
+        .withColumn("shingles", shingle_hashes(F.col("_sh_str")))
+        .drop("_toks")
     )
     if keep_shingle_strings:
         return out.withColumnRenamed("_sh_str", "shingle_strings")

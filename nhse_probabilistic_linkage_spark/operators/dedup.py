@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from nhse_probabilistic_linkage_spark.config import DedupConfig
 from nhse_probabilistic_linkage_spark.functions.text import normalize_text, prepare_docs
@@ -56,6 +57,9 @@ def minhash_lsh_pairs(
     minhash -> bands -> capped self-join -> exact-jaccard verify.
     """
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
+    # the prepared docs feed banding AND both sides of the verify join; without
+    # persistence the shingle pipeline would re-run 3x (spills to disk if big)
+    docs = docs.select(id_col, "shingles").persist(StorageLevel.MEMORY_AND_DISK)
     docs = with_minhash(docs, num_perms=config.num_perms, seed=config.minhash_seed)
     bands = band_keys(
         docs, id_col=id_col, bands=config.bands, rows_per_band=config.rows_per_band
@@ -76,7 +80,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """text -> near-duplicate pairs by SimHash Hamming distance."""
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
-    docs = with_simhash(docs)
+    docs = with_simhash(docs.select(id_col, "shingles")).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
     cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap,
                                 salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
@@ -96,15 +100,35 @@ def ngram_jaccard_pairs(
     but O(pairs sharing a shingle) so only for corpora where that is sane.
     """
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=k)
-    inv = docs.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    cand = (
+    sized = docs.select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inv = sized.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    # count shared shingles per pair in ONE aggregation — shingles are
+    # distinct per doc, so count(*) over the inverted-index self-join IS the
+    # intersection size; jaccard follows arithmetically from |A|,|B|. This
+    # replaces a dropDuplicates over the full collision stream plus a 2-way
+    # array_intersect verify join (3 shuffles + array scans) with one shuffle.
+    inter = (
         inv.alias("l")
         .join(inv.alias("r"), "sh")
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r"))
-        .distinct()
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r")
+        )
+        .agg(F.count("*").alias("_inter"))
     )
-    return verify_pairs(cand, docs, id_col=id_col, threshold=threshold)
+    sizes = sized.select(F.col(id_col), F.col("n_sh"))
+    pairs = (
+        inter.join(sizes.select(F.col(id_col).alias("id_l"), F.col("n_sh").alias("_n_l")), "id_l")
+        .join(sizes.select(F.col(id_col).alias("id_r"), F.col("n_sh").alias("_n_r")), "id_r")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_n_l") + F.col("_n_r") - F.col("_inter")),
+        )
+        .drop("_inter", "_n_l", "_n_r")
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
 
 
 def substring_dedup_pairs(

@@ -50,6 +50,9 @@ def verify_hamming(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Attach hamming distance to candidate pairs and keep <= max_hamming."""
+    from nhse_probabilistic_linkage_spark.operators.verify import spread_pairs
+
+    pairs = spread_pairs(pairs)
     slim = docs.select(F.col(id_col), F.col(sig_col))
     return (
         pairs.join(slim.select(F.col(id_col).alias("id_l"), F.col(sig_col).alias("_s_l")), "id_l")

@@ -70,7 +70,8 @@ def substring_pairs(
 
     norm = F.col(text_col) if normalized else normalize_text(F.col(text_col))
     docs = df.select(F.col(id_col), norm.alias("norm_text"))
-    docs = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window)
+    # reused by candidate generation AND both sides of the LCS verify join
+    docs = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window).persist()
 
     cands, dropped = candidate_pairs(
         fingerprint_keys(docs, id_col=id_col), id_col=id_col, band_cap=band_cap
@@ -78,6 +79,11 @@ def substring_pairs(
 
     slim = docs.select(F.col(id_col), F.col("norm_text"))
     lcs = make_lcs_udf()
+    # LCS is the densest per-row compute in the engine — never let AQE
+    # collapse the pair table to one task (see verify.spread_pairs)
+    from nhse_probabilistic_linkage_spark.operators.verify import spread_pairs
+
+    cands = spread_pairs(cands)
     pairs = (
         cands.join(slim.select(F.col(id_col).alias("id_l"), F.col("norm_text").alias("_t_l")), "id_l")
         .join(slim.select(F.col(id_col).alias("id_r"), F.col("norm_text").alias("_t_r")), "id_r")

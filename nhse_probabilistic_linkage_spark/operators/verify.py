@@ -25,6 +25,20 @@ def jaccard_expr(left: str | F.Column, right: str | F.Column) -> F.Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
+def spread_pairs(pairs: DataFrame, factor: int = 2) -> DataFrame:
+    """Re-spread a candidate-pair table across the cluster before a
+    compute-dense per-pair stage.
+
+    AQE coalesces shuffle outputs by BYTES; a pair table is a few dozen bytes
+    per row, so it collapses to one partition — and then every array_intersect
+    / LCS / hamming verification runs in ONE task (measured: the verify stage
+    was flat at ~18s regardless of core count, out_partitions=1). Compute
+    density per row is invisible to AQE; spreading by pair id is one cheap
+    shuffle of the narrow table."""
+    n = factor * pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n, "id_l", "id_r")
+
+
 def verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -37,7 +51,22 @@ def verify_pairs(
     Output: (id_l, id_r, match_key?, jaccard). Gamma-style similarity buckets
     can be derived downstream with a single when-chain.
     """
-    slim = docs.select(F.col(id_col), F.col(shingle_col))
+    pairs = spread_pairs(pairs)
+    # Two physical choices that matter at scale:
+    # 1. semi-join reduction: only docs that appear in some candidate pair
+    #    need their (wide) shingle arrays moved — usually a small fraction of
+    #    the corpus once LSH has pruned the pair space.
+    # 2. shuffle_hash hint: Catalyst's size estimate happily BROADCASTS the
+    #    doc side (every row carries a full shingle array — hundreds of MB at
+    #    even 40k docs, driver-built and single-threaded; at corpus scale
+    #    impossible). Hash-partitioning keeps the wide table distributed and
+    #    skips sort-merge's sort of the wide rows.
+    pair_ids = pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col)).distinct()
+    slim = (
+        docs.select(F.col(id_col), F.col(shingle_col))
+        .join(pair_ids, id_col, "left_semi")
+        .hint("shuffle_hash")
+    )
     out = (
         pairs.join(
             slim.select(F.col(id_col).alias("id_l"), F.col(shingle_col).alias("_sh_l")),

@@ -49,9 +49,9 @@ def _rng(*keys: int) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h[:8], "little"))
 
 
-def _template_tokens(seed: int, block: int) -> np.ndarray:
+def _template_tokens(seed: int, block: int, min_tokens: int, max_tokens: int) -> np.ndarray:
     rng = _rng(seed, block, 0)
-    n = int(rng.integers(40, 120))
+    n = int(rng.integers(min_tokens, max_tokens))
     return _VOCAB[rng.integers(0, len(_VOCAB), size=n)]
 
 
@@ -71,19 +71,20 @@ def _mutate(tokens: np.ndarray, rng: np.random.Generator, rate: float) -> np.nda
     return np.array(toks)
 
 
-def _gen_one(i: int, seed: int, block_size: int, dup_blocks_frac: float, max_mutation: float):
+def _gen_one(i: int, seed: int, block_size: int, dup_blocks_frac: float, max_mutation: float,
+             min_tokens: int, max_tokens: int):
     block, offset = divmod(i, block_size)
     brng = _rng(seed, block, 1)
     is_dup_block = brng.random() < dup_blocks_frac
     k = int(brng.integers(2, block_size + 1)) if is_dup_block else 1
     drng = _rng(seed, i, 2)
     if offset < k:
-        base = _template_tokens(seed, block)
+        base = _template_tokens(seed, block, min_tokens, max_tokens)
         rate = 0.0 if offset == 0 else float(drng.uniform(0.005, max_mutation))
         toks = _mutate(base, drng, rate)
         cluster = block * block_size
     else:
-        toks = _template_tokens(seed, i + (1 << 40))  # unique singleton text
+        toks = _template_tokens(seed, i + (1 << 40), min_tokens, max_tokens)  # unique singleton text
         cluster = i
     text = " ".join(toks.tolist())
     url = f"https://synth.example.com/{seed}/{i:012d}"
@@ -101,6 +102,8 @@ def synth_pages(
     dup_blocks_frac: float = 0.3,
     max_mutation: float = 0.05,
     partitions: int | None = None,
+    min_tokens: int = 40,
+    max_tokens: int = 120,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (pages, truth). pages has the input_hint schema; truth maps
     url -> planted cluster_id (block-template id for planted dups, own seq
@@ -109,7 +112,8 @@ def synth_pages(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _gen_one(int(i), seed, block_size, dup_blocks_frac, max_mutation)
+                _gen_one(int(i), seed, block_size, dup_blocks_frac, max_mutation,
+                         min_tokens, max_tokens)
                 for i in pdf["id"]
             ]
             out = pd.DataFrame(
