@@ -306,6 +306,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q23_max_over_partition"] = q23_max_over_partition
 
+    def q15_full_outer_backfill(spark, sf_dir):
+        # full-outer join + coalesce backfill — the reference's
+        # match_probabilities_output shape (utils/model_utils.py:176-186):
+        # records Splink never compared get added back with null weights
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        cn = c.groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+        sn = s.groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+        return (
+            cn.join(sn, cn["c_nationkey"] == sn["s_nationkey"], "full_outer")
+            .select(
+                F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            )
+        )
+
+    q["q15_full_outer_backfill"] = q15_full_outer_backfill
+
+    def q16_sql_text_api(spark, sf_dir):
+        # spark.sql over registered views — the reference drives Splink
+        # entirely through SQL text (SURVEY §2.1 spark.sql sites)
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+        _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+        return spark.sql(
+            """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price
+            FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+            WHERE o_orderstatus <> 'P'
+            GROUP BY c_mktsegment
+            """
+        )
+
+    q["q16_sql_text_api"] = q16_sql_text_api
+
     def q24_growing_frame_accumulate(spark, sf_dir):
         # growing-frame collect_list — the reference's close-match NHS-number
         # accumulation window (utils/model_utils.py:224-236): default frame
@@ -628,6 +665,23 @@ def oracle_sql() -> dict[str, str]:
                strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
                CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy
         FROM orders
+    """
+
+    o["q15_full_outer_backfill"] = """
+        SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) cn
+        FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) sn
+          ON cn.c_nationkey = sn.s_nationkey
+    """
+
+    o["q16_sql_text_api"] = """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'P'
+        GROUP BY c_mktsegment
     """
 
     o["q24_growing_frame_accumulate"] = """

@@ -162,7 +162,9 @@ class DedupPipeline:
         cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap,
                                          salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups)
         pairs = self._materialize(cands, "pairs", manifest)
-        n_dropped = dropped.count()
+        # cheap emptiness probe first — the full count job only runs when a
+        # band actually got dropped (rare by construction)
+        n_dropped = 0 if dropped.isEmpty() else dropped.count()
         if n_dropped:
             self.metrics.append(
                 StageMetric("pairs.dropped_bands", n_dropped, 0.0, {"band_cap": cfg.band_cap})
