@@ -87,6 +87,7 @@ def main() -> None:
         "q51_ngram_jaccard_pairs",
         "q52_minhash_lsh_pairs",
         "q53_cc_clusters",
+        "q57_substring_pairs",
         "q60_embedding_neardup",
         "q61_ann_topk",
         "q70_textstats",

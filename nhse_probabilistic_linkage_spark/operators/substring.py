@@ -70,22 +70,34 @@ def substring_pairs(
 
     norm = F.col(text_col) if normalized else normalize_text(F.col(text_col))
     docs = df.select(F.col(id_col), norm.alias("norm_text"))
-    # reused by candidate generation AND both sides of the LCS verify join
-    docs = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window).persist()
+    # Reused by candidate generation AND both sides of the LCS verify join.
+    # Eager checkpoint, not persist: the band self-join references this
+    # subtree many times and lazy cache registration still re-planned the
+    # winnowing UDF per reference (measured 150s vs 15s at sf0.1).
+    docs = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window).localCheckpoint(
+        eager=True
+    )
 
     cands, dropped = candidate_pairs(
         fingerprint_keys(docs, id_col=id_col), id_col=id_col, band_cap=band_cap
     )
+    cands = cands.localCheckpoint(eager=True)
 
     slim = docs.select(F.col(id_col), F.col("norm_text"))
     lcs = make_lcs_udf()
-    # LCS is the densest per-row compute in the engine — never let AQE
-    # collapse the pair table to one task (see verify.spread_pairs)
+    # LCS is the densest per-row compute in the engine. Spread the
+    # (checkpointed, therefore possibly 1-partition) pair table BEFORE the
+    # text joins: the doc-text joins broadcast (texts are narrow) and
+    # preserve the spread partitioning, so the UDF runs wide. Spreading
+    # AFTER the joins does NOT work — Catalyst pushes the span filter (UDF
+    # included) back through the repartition exchange and evaluates the LCS
+    # on the unspread stream, then AGAIN above it (measured: 130s single
+    # task + duplicate evaluation vs ~10s wide). See verify.spread_pairs.
     from nhse_probabilistic_linkage_spark.operators.verify import spread_pairs
 
-    cands = spread_pairs(cands)
     pairs = (
-        cands.join(slim.select(F.col(id_col).alias("id_l"), F.col("norm_text").alias("_t_l")), "id_l")
+        spread_pairs(cands)
+        .join(slim.select(F.col(id_col).alias("id_l"), F.col("norm_text").alias("_t_l")), "id_l")
         .join(slim.select(F.col(id_col).alias("id_r"), F.col("norm_text").alias("_t_r")), "id_r")
         .withColumn("span_len", lcs(F.col("_t_l"), F.col("_t_r")))
         .drop("_t_l", "_t_r", "match_key")

@@ -22,6 +22,7 @@ utils/model_utils.py:107-125).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -63,6 +64,13 @@ class DedupPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.id_col = id_col
         self.metrics: list[StageMetric] = []
+        # per-partition lineage counters: (run_id, stage, partition_id, rows)
+        # -- the reference logs models/metrics to a Delta table
+        # (utils/model_utils.py:107-125); ours additionally records row
+        # counts per physical partition per stage, so a resumed or audited
+        # run can see exactly which partition of which stage produced what.
+        self.lineage_rows: list[tuple] = []
+        self.run_id: str | None = None
 
     # -- checkpoint plumbing -------------------------------------------------
     def _stage_path(self, stage: str) -> str | None:
@@ -107,6 +115,7 @@ class DedupPipeline:
         else:
             out = df.localCheckpoint(eager=True)
             rows = out.count()
+        self._record_lineage(stage, out)
         self.metrics.append(StageMetric(stage, rows, time.monotonic() - t0))
         manifest["done"].append(stage)
         self._save_manifest(manifest)
@@ -138,6 +147,9 @@ class DedupPipeline:
             ).collect()[0]
             input_fingerprint = f"n={row['n']},h={row['h']}"
         manifest = self._load_manifest(input_fingerprint or "unspecified")
+        self.run_id = hashlib.sha256(
+            (self.config.to_json() + "|" + (input_fingerprint or "unspecified")).encode()
+        ).hexdigest()[:16]
 
         base_cols = [c for c in ("url",) if c in pages.columns]
         prepared = self._materialize(
@@ -204,6 +216,23 @@ class DedupPipeline:
             "canonical": canonical,
         }
 
+    def _record_lineage(self, stage: str, out: DataFrame) -> None:
+        """One cheap map-side job over the just-materialized stage: row count
+        per physical partition. Appended to the lineage table (metrics sink)
+        by write_metrics(); kept in memory otherwise."""
+        counts = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        for r in counts:
+            self.lineage_rows.append((self.run_id, stage, int(r["partition_id"]), int(r["rows"])))
+
+    def lineage_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self.lineage_rows, "run_id string, stage string, partition_id int, rows long"
+        )
+
     def metrics_df(self) -> DataFrame:
         rows = [(m.stage, m.rows, m.seconds, json.dumps(m.extra)) for m in self.metrics]
         return self.spark.createDataFrame(rows, "stage string, rows long, seconds double, extra string")
@@ -213,3 +242,7 @@ class DedupPipeline:
             self.metrics_df().write.mode("overwrite").parquet(
                 os.path.join(self.checkpoint_dir, "metrics")
             )
+            if self.lineage_rows:
+                self.lineage_df().write.mode("append").parquet(
+                    os.path.join(self.checkpoint_dir, "lineage")
+                )

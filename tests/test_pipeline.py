@@ -154,3 +154,33 @@ def test_extracted_text_matches_planted_text(spark, corpus):
     ext = extract_text(pages)
     mismatches = ext.where(F.col("extracted_text") != F.col("text")).count()
     assert mismatches == 0
+
+
+def test_per_partition_lineage(spark, corpus, tmp_path):
+    """North-rule: every stage writes per-partition lineage/counters to the
+    metrics sink. Lineage row counts must reconcile with stage row counts."""
+    pages, _ = corpus
+    ckpt = str(tmp_path / "lineage_ckpt")
+    pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ckpt)
+    out = pipe.run(pages)
+    out["canonical"].count()
+    pipe.write_metrics()
+
+    lineage = spark.read.parquet(f"{ckpt}/lineage")
+    per_stage = {
+        r["stage"]: r["total"]
+        for r in lineage.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    stage_rows = {m.stage: m.rows for m in pipe.metrics if m.rows >= 0}
+    for stage in ("prepare", "signatures", "pairs", "verified", "clusters", "canonical"):
+        assert per_stage[stage] == stage_rows[stage], stage
+    # one run id, stable across identical config+input
+    run_ids = {r["run_id"] for r in lineage.select("run_id").distinct().collect()}
+    assert len(run_ids) == 1
+    assert pipe.run_id in run_ids
+
+    # resumed run: stages skip, no duplicate lineage is appended in-memory
+    pipe2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=ckpt)
+    pipe2.run(pages)
+    assert all(m.extra.get("resumed") for m in pipe2.metrics)
+    assert pipe2.lineage_rows == []
