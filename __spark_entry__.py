@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from nhse_probabilistic_linkage_spark.config import DedupConfig
 from nhse_probabilistic_linkage_spark.functions import textstats as TS
-from nhse_probabilistic_linkage_spark.functions.text import normalize_text, prepare_docs
+from nhse_probabilistic_linkage_spark.functions.text import normalize_text, prepare_docs, tokenize
 from nhse_probabilistic_linkage_spark.operators.best_match import best_match_per_doc
 from nhse_probabilistic_linkage_spark.operators.connected_components import assign_components
 from nhse_probabilistic_linkage_spark.operators.dedup import (
@@ -451,6 +451,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q42_array_ops"] = q42_array_ops
 
+    def q43_explode_outer_window_prune(spark, sf_dir):
+        # the reference's history-explode shape (utils/dataset_ingestion_
+        # utils.py:191-259): explode_outer an array, then drop null rows
+        # when a non-null sibling exists via count().over(partitionBy) —
+        # docs with no tokens keep one null row, docs with tokens keep only
+        # real rows
+        docs = _t(spark, sf_dir, "documents")
+        long_toks = F.filter(tokenize(F.col("text")), lambda t: F.length(t) >= 10)
+        exploded = docs.select("doc_id", F.explode_outer(long_toks).alias("tok"))
+        w = Window.partitionBy("doc_id")
+        return (
+            exploded.withColumn("n_nonnull", F.count("tok").over(w))
+            .where(F.col("tok").isNotNull() | (F.col("n_nonnull") == 0))
+            .groupBy("doc_id")
+            .agg(
+                F.count("tok").alias("n_long_tokens"),
+                F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0)).alias("n_null_rows"),
+            )
+        )
+
+    q["q43_explode_outer_window_prune"] = q43_explode_outer_window_prune
+
     # ---- dedup suite (north-star operators)
     def q50_exact_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -783,6 +805,18 @@ def oracle_sql() -> dict[str, str]:
                                         ['the', 'and', 'of'])) AS INT) AS n_stopword_kinds,
                CAST(len(list_filter(string_split({_norm}, ' '), t -> t <> 'the')) AS INT) AS n_tokens_no_the
         FROM documents
+    """
+
+    _toks_long = f"list_filter(string_split({_norm}, ' '), t -> t <> '' AND length(t) >= 10)"
+    o["q43_explode_outer_window_prune"] = f"""
+        WITH exploded AS (
+          SELECT doc_id, unnest(CASE WHEN len({_toks_long}) = 0 THEN [NULL] ELSE {_toks_long} END) AS tok
+          FROM documents
+        )
+        SELECT doc_id,
+               count(tok) AS n_long_tokens,
+               CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows
+        FROM exploded GROUP BY doc_id
     """
 
     o["q50_exact_dedup"] = f"""

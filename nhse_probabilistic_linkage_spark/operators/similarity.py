@@ -66,19 +66,30 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    """array<float> -> int64 bucket: sign bits of dots with fixed random
-    hyperplanes (vectorized: one matmul per Arrow batch)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: int = 1):
+    """array<float> -> array<int64>: one bucket id per hash table.
 
-    @pandas_udf(LongType())
+    Standard multi-table construction: L independent sets of random
+    hyperplanes; a pair is a candidate if it collides in ANY table, so
+    recall is 1-(1-p^.)^L instead of a single table's p. One matmul per
+    Arrow batch covers all tables (planes are concatenated column-wise);
+    bucket ids are salted with the table index so tables never cross-join.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes * n_tables)).astype(np.float64)
+    weights = 1 << np.arange(n_planes, dtype=np.uint64)
+    # large odd constants decorrelate table ids in the bucket key space
+    table_salt = (np.arange(n_tables, dtype=np.uint64) + 1) * np.uint64(0x9E3779B97F4A7C15)
+
+    @pandas_udf("array<long>")
     def bucket(vecs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ planes) > 0
-        weights = (1 << np.arange(n_planes, dtype=np.uint64))
-        vals = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
-        return pd.Series(vals.astype(np.int64))
+        bits = (mat @ planes) > 0  # (n, n_planes * n_tables)
+        per_table = bits.reshape(len(mat), n_tables, n_planes)
+        vals = (per_table.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        vals = vals + table_salt[None, :]
+        out = vals.astype(np.int64)
+        return pd.Series([row for row in out])
 
     return bucket
 
@@ -89,31 +100,41 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     seed: int = 42,
     exact: bool = False,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Pairs (id_l, id_r, cosine >= threshold).
 
     exact=True: all-pairs self-join (small corpora / oracle parity).
-    exact=False: hyperplane-LSH buckets prune candidates first — vectors in
-    the same bucket (expected collision prob (1 - theta/pi)^n_planes) join;
-    misses are possible, so exact mode is the auditable baseline.
+    exact=False: multi-table hyperplane-LSH prunes candidates — a pair joins
+    if it collides in ANY of the n_tables bucket tables (per-table collision
+    prob ~(1 - theta/pi)^n_planes, union recall 1-(1-p)^L); the exact cosine
+    then verifies, so approximation only ever costs recall, never precision.
     """
     slim = df.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n"))
     if not exact:
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
-        bucket = make_hyperplane_udf(dim, n_planes=n_planes, seed=seed)
-        slim = slim.withColumn("_bkt", bucket(vec_col))
-        join_keys = ["_bkt"]
+        # size the tables from the collision model at this threshold unless
+        # the caller pins them
+        auto_planes, auto_tables = lsh_params_for_threshold(threshold)
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_tables = n_tables if n_tables is not None else auto_tables
+        bucket = make_hyperplane_udf(dim, n_planes=n_planes, seed=seed, n_tables=n_tables)
+        slim = slim.withColumn("_bkt", F.explode(bucket(vec_col)))
         l = slim.select(
             F.col("_bkt"), F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl")
         )
         r = slim.select(
             F.col("_bkt"), F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr")
         )
-        cand = l.join(r, join_keys).where(F.col("id_l") < F.col("id_r"))
+        cand = (
+            l.join(r, "_bkt")
+            .where(F.col("id_l") < F.col("id_r"))
+            .dropDuplicates(["id_l", "id_r"])
+        )
     else:
         l = slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl"))
         r = slim.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr"))
@@ -123,3 +144,126 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the scale path for top-k search. Centroids are
+# learned with a few Lloyd iterations entirely in DataFrame ops; vectors are
+# bucketed by nearest centroid; queries probe the n_probe nearest buckets and
+# run exact cosine only inside them. Reference analog: blocking rules prune
+# the O(n^2) space before the exact scorer (parameters_dedupe.py:26-44).
+# ---------------------------------------------------------------------------
+
+
+def make_bucket_udf(centroids: np.ndarray, n_probe: int = 1):
+    """array<float> -> array<int>: ids of the n_probe nearest centroids by
+    cosine (one matmul per Arrow batch; centroids are L2-normalized once)."""
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cmat = (centroids / norms).T.astype(np.float64)  # (dim, n_centroids)
+
+    @pandas_udf("array<int>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        vn = np.linalg.norm(mat, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        sims = (mat / vn) @ cmat
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    return buckets
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    iterations: int = 2,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded k-means: deterministic init from a hash-ordered sample, then a
+    few Lloyd iterations as groupBy averages. Driver holds only the
+    (n_centroids x dim) matrix — never the corpus."""
+    init = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
+    for _ in range(iterations):
+        assign = make_bucket_udf(centroids, n_probe=1)
+        assigned = df.select(
+            F.col(vec_col), assign(F.col(vec_col)).getItem(0).alias("_bucket")
+        )
+        agg = (
+            assigned.select("_bucket", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("_bucket", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("avg"))
+            .collect()
+        )
+        for r in agg:
+            centroids[r["_bucket"], r["pos"]] = r["avg"]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe nearest centroid buckets per
+    query, exact cosine inside them. Corpus shuffles once by bucket; each
+    query fans out to n_probe buckets — at 10^9+ vectors this scans
+    n_probe/n_centroids of the corpus instead of all of it."""
+    assign1 = make_bucket_udf(centroids, n_probe=1)
+    assignp = make_bucket_udf(centroids, n_probe=n_probe)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        norm_expr(vec_col).alias("_cnorm"),
+        assign1(F.col(vec_col)).getItem(0).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm_expr(vec_col).alias("_qnorm"),
+        F.explode(assignp(F.col(vec_col))).alias("_bucket"),
+    )
+    scored = c.join(q, "_bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (dot_expr("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def lsh_params_for_threshold(threshold: float, target_recall: float = 0.95,
+                             n_planes: int | None = None) -> tuple[int, int]:
+    """(n_planes, n_tables) sized from the hyperplane-LSH collision model.
+
+    Per-table collision prob for a pair at cosine=threshold is
+    p = (1 - theta/pi)^n_planes with theta = arccos(threshold); the union of
+    L independent tables reaches recall 1-(1-p)^L. n_planes defaults to the
+    largest value keeping a single table's p >= 0.15 (selectivity vs table
+    count tradeoff); n_tables then follows from the target recall. The exact
+    cosine verify keeps precision at 1.0 regardless.
+    """
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p1 = 1.0 - theta / math.pi  # single-plane agreement probability
+    if n_planes is None:
+        n_planes = max(1, int(math.log(0.15) / math.log(p1))) if p1 < 1.0 else 16
+        n_planes = min(n_planes, 24)
+    p = p1 ** n_planes
+    if p >= 1.0:
+        return n_planes, 1
+    n_tables = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+    return n_planes, min(n_tables, 64)

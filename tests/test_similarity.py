@@ -1,0 +1,74 @@
+"""Similarity search: exact brute-force vs the two approximate scale paths
+(hyperplane LSH pairs, IVF top-k), plus TableIO round-trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    train_centroids,
+)
+from nhse_probabilistic_linkage_spark.sources.tables import TableIO
+
+DIM = 16
+N_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Clustered synthetic vectors: N_CLUSTERS well-separated centers, 50
+    points each with small noise — deterministic."""
+    rng = np.random.default_rng(123)
+    centers = rng.standard_normal((N_CLUSTERS, DIM)) * 5
+    rows = []
+    vid = 0
+    for ci in range(N_CLUSTERS):
+        for _ in range(50):
+            v = centers[ci] + rng.standard_normal(DIM) * 0.3
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, true_cluster int, embedding array<double>").cache()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, vectors):
+    queries = vectors.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vectors
+    exact = brute_force_topk(corpus, queries, k=10)
+    centroids = train_centroids(corpus, n_centroids=N_CLUSTERS, iterations=2, seed=7)
+    approx = ivf_topk(corpus, queries, centroids, k=10, n_probe=2)
+
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_deterministic(spark, vectors):
+    c1 = train_centroids(vectors, n_centroids=N_CLUSTERS, iterations=1, seed=7)
+    c2 = train_centroids(vectors, n_centroids=N_CLUSTERS, iterations=1, seed=7)
+    assert np.array_equal(c1, c2)
+
+
+def test_lsh_neardup_finds_planted_neighbors(spark, vectors):
+    # points within a cluster are near-duplicates by construction
+    exact = embedding_neardup_pairs(vectors, threshold=0.95, exact=True)
+    approx = embedding_neardup_pairs(vectors, threshold=0.95, exact=False, dim=DIM, n_planes=8)
+    ne, na = exact.count(), approx.count()
+    assert ne > 100
+    # LSH is a subset of exact (verification is exact cosine) with high recall
+    assert na <= ne
+    assert na / ne >= 0.7, (na, ne)
+
+
+def test_tableio_roundtrip(spark, vectors, tmp_path):
+    io = TableIO(spark, warehouse=str(tmp_path))
+    io.write(vectors.select("vec_id", "true_cluster"), "vecs")
+    assert io.exists("vecs")
+    assert not io.exists("missing")
+    back = io.read("vecs")
+    assert back.count() == vectors.count()
+    io.write(vectors.select("vec_id").limit(5), "vecs", mode="overwrite")
+    assert io.read("vecs").count() == 5
