@@ -81,15 +81,21 @@ def main(argv=None) -> dict:
     pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
     out = pipe.run(pages)
 
-    edges = out["verified"].select("id_l", "id_r") if "minhash" in detectors else None
+    detector_tables: dict[str, object] = {}
+    edges = None
     extra_counts = {}
+    if "minhash" in detectors:
+        detector_tables["minhash"] = out["verified"].select("id_l", "id_r")
+        edges = detector_tables["minhash"]
     if "simhash" in detectors:
         sh = simhash_pairs(pages, cfg).select("id_l", "id_r")
+        detector_tables["simhash"] = sh
         extra_counts["simhash_pairs"] = sh.count()
         edges = sh if edges is None else edges.unionByName(sh)
     if "substring" in detectors:
         ss, ss_dropped = substring_dedup_pairs(pages, cfg)
         ss = ss.select("id_l", "id_r")
+        detector_tables["substring"] = ss
         extra_counts["substring_pairs"] = ss.count()
         extra_counts["substring_dropped_bands"] = ss_dropped.count()
         edges = ss if edges is None else edges.unionByName(ss)
@@ -107,6 +113,14 @@ def main(argv=None) -> dict:
         clusters = out["clusters"]
 
     os.makedirs(args.output, exist_ok=True)
+    if len(detector_tables) > 1:
+        # per-pair detector-agreement vectors (reference's agreement-pattern
+        # analog, utils/eval_utils.py:207-215)
+        from nhse_probabilistic_linkage_spark.operators.agreement import agreement_vectors
+
+        agreement_vectors(detector_tables).write.mode("overwrite").parquet(
+            os.path.join(args.output, "agreement")
+        )
     clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
     out["verified"].write.mode("overwrite").parquet(os.path.join(args.output, "pairs"))
     out["canonical"].write.mode("overwrite").parquet(os.path.join(args.output, "canonical"))
