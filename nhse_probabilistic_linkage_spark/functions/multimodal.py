@@ -57,7 +57,6 @@ def probe_binary(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     """Native (no-Python) media sniffing: magic-byte prefix -> media_type,
     plus payload size. Stays in codegen, so it is safe to run over the full
     corpus as a routing/filter stage before any decode."""
-    prefix = F.substring(F.col(bin_col), 1, 4)
     mt = F.lit("unknown")
     for magic, kind in reversed(_MAGIC):
         mt = F.when(

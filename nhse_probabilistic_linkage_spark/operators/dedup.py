@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from nhse_probabilistic_linkage_spark.config import DedupConfig
 from nhse_probabilistic_linkage_spark.functions.text import normalize_text, prepare_docs
@@ -31,13 +30,19 @@ def exact_dedup(
     """Exact duplicate groups on (normalized) text.
 
     Output: (doc_id, rep_id, group_size) for every doc, where rep_id is the
-    min doc id sharing identical text. At scale the groupBy key is
-    xxhash64(text) (64-bit fingerprint) so only 8 bytes shuffle per row; the
-    window argmin then picks the representative.
+    min doc id sharing identical text. At scale the groupBy key is a 128-bit
+    fingerprint (two independently-seeded xxhash64 halves) so only 16 bytes
+    shuffle per row; the window argmin then picks the representative. 64 bits
+    alone would silently false-merge ~27k pairs at 10^12 docs (birthday
+    bound); at 128 bits the expected collision count is ~3e-15.
     """
     key = F.col(text_col) if normalized else normalize_text(F.col(text_col))
-    keyed = df.select(F.col(id_col), F.xxhash64(key).alias("_fp"))
-    w = Window.partitionBy("_fp")
+    keyed = df.select(
+        F.col(id_col),
+        F.xxhash64(key).alias("_fp_a"),
+        F.xxhash64(key, F.lit(0x5F3759DF)).alias("_fp_b"),
+    )
+    w = Window.partitionBy("_fp_a", "_fp_b")
     return (
         keyed.withColumn("rep_id", F.min(id_col).over(w))
         .withColumn("group_size", F.count("*").over(w))
@@ -58,8 +63,10 @@ def minhash_lsh_pairs(
     """
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
     # the prepared docs feed banding AND both sides of the verify join; without
-    # persistence the shingle pipeline would re-run 3x (spills to disk if big)
-    docs = docs.select(id_col, "shingles").persist(StorageLevel.MEMORY_AND_DISK)
+    # a cut the shingle pipeline would re-run 3x. Eager localCheckpoint (not
+    # lazy persist): blocks are freed when the handle is GC'd, so repeated
+    # calls in a long-lived session don't accumulate cache entries.
+    docs = docs.select(id_col, "shingles").localCheckpoint(eager=True)
     docs = with_minhash(docs, num_perms=config.num_perms, seed=config.minhash_seed)
     bands = band_keys(
         docs, id_col=id_col, bands=config.bands, rows_per_band=config.rows_per_band
@@ -80,7 +87,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """text -> near-duplicate pairs by SimHash Hamming distance."""
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
-    docs = with_simhash(docs.select(id_col, "shingles")).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = with_simhash(docs.select(id_col, "shingles")).localCheckpoint(eager=True)
     blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
     cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap,
                                 salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
@@ -102,7 +109,7 @@ def ngram_jaccard_pairs(
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=k)
     sized = docs.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     inv = sized.select(F.col(id_col), F.explode("shingles").alias("sh"))
     # count shared shingles per pair in ONE aggregation — shingles are
     # distinct per doc, so count(*) over the inverted-index self-join IS the

@@ -141,5 +141,18 @@ def candidate_pairs(
     else:
         raw = _self_join_pairs(kept, id_col)
 
-    pairs = raw.groupBy("id_l", "id_r").agg(F.min("band_id").alias("match_key"))
+    # Materialize the (narrow) pair table eagerly, then release the wide band
+    # table: every downstream consumer (verify's semi-join + join, counts,
+    # CC edges) scans `pairs` more than once, and without the cut the band
+    # self-join would re-execute per scan. Eager checkpoint also lets this
+    # function own its persist scope — callers in long-lived sessions
+    # (streaming micro-batches) never accumulate leaked cache blocks.
+    pairs = (
+        raw.groupBy("id_l", "id_r")
+        .agg(F.min("band_id").alias("match_key"))
+        .localCheckpoint(eager=True)
+    )
+    dropped = dropped.localCheckpoint(eager=True)  # tiny by construction
+    sizes.unpersist()
+    bands_df.unpersist()
     return pairs, dropped
