@@ -62,6 +62,8 @@ def main(argv=None) -> dict:
     spark.sparkContext.setLogLevel("WARN")
     cfg = DedupConfig.from_json(args.config_json) if args.config_json else DedupConfig()
     detectors = [d.strip() for d in args.detectors.split(",") if d.strip()]
+    if not detectors:
+        raise SystemExit("at least one detector required (--detectors minhash[,simhash,substring])")
     unknown = set(detectors) - {"minhash", "simhash", "substring"}
     if unknown:
         raise SystemExit(f"unknown detectors: {sorted(unknown)}")
@@ -74,43 +76,63 @@ def main(argv=None) -> dict:
         pages = spark.read.parquet(args.input)
 
     t0 = time.monotonic()
-    pages = pages.withColumn("doc_id", F.xxhash64("url"))
+    pages = pages.withColumn("doc_id", F.xxhash64("url")).localCheckpoint(eager=True)
 
     # minhash runs inside the (checkpointed, resumable) pipeline; the other
-    # detectors contribute extra edges before clustering
-    pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
-    out = pipe.run(pages)
+    # detectors contribute extra edges before clustering. The pipeline is
+    # SKIPPED when minhash is not requested — its verify stage is the most
+    # expensive in the job, and running it unrequested would also write a
+    # misleading minhash pair table next to the selected detectors' output.
+    pipe = None
+    out = {}
+    if "minhash" in detectors:
+        pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
+        out = pipe.run(pages)
 
     detector_tables: dict[str, object] = {}
-    edges = None
     extra_counts = {}
     if "minhash" in detectors:
         detector_tables["minhash"] = out["verified"].select("id_l", "id_r")
-        edges = detector_tables["minhash"]
     if "simhash" in detectors:
-        sh = simhash_pairs(pages, cfg).select("id_l", "id_r")
+        # eager checkpoint: the pair table feeds a count, the edge union AND
+        # the agreement join — without the cut the simhash pipeline (band
+        # join + hamming verify) would re-execute once per action
+        sh = simhash_pairs(pages, cfg).select("id_l", "id_r").localCheckpoint(eager=True)
         detector_tables["simhash"] = sh
         extra_counts["simhash_pairs"] = sh.count()
-        edges = sh if edges is None else edges.unionByName(sh)
     if "substring" in detectors:
         ss, ss_dropped = substring_dedup_pairs(pages, cfg)
-        ss = ss.select("id_l", "id_r")
+        ss = ss.select("id_l", "id_r").localCheckpoint(eager=True)  # LCS is the densest stage — run it once
         detector_tables["substring"] = ss
         extra_counts["substring_pairs"] = ss.count()
         extra_counts["substring_dropped_bands"] = ss_dropped.count()
-        edges = ss if edges is None else edges.unionByName(ss)
 
-    if set(detectors) != {"minhash"}:
-        # re-cluster over the union of detector edges
+    edges = None
+    for tbl in detector_tables.values():
+        edges = tbl if edges is None else edges.unionByName(tbl)
+
+    if set(detectors) == {"minhash"}:
+        clusters = out["clusters"]
+        canonical = out["canonical"]
+    else:
+        # (re-)cluster over the union of detector edges
+        from nhse_probabilistic_linkage_spark.operators.best_match import elect_canonical
         from nhse_probabilistic_linkage_spark.operators.connected_components import (
             assign_components,
         )
 
+        docs = out["prepared"] if pipe else pages.select("doc_id")
         clusters = assign_components(
-            out["prepared"], edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+            docs, edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
         )
-    else:
-        clusters = out["clusters"]
+        prefer = (
+            out["prepared"].select("doc_id", "n_shingles")
+            if pipe
+            else pages.select("doc_id", F.length("text").alias("n_shingles"))
+        )
+        canonical = elect_canonical(clusters, prefer, prefer_col="n_shingles").select(
+            "doc_id", "cluster_id", "canonical_id", "is_canonical"
+        )
 
     os.makedirs(args.output, exist_ok=True)
     if len(detector_tables) > 1:
@@ -122,21 +144,27 @@ def main(argv=None) -> dict:
             os.path.join(args.output, "agreement")
         )
     clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
-    out["verified"].write.mode("overwrite").parquet(os.path.join(args.output, "pairs"))
-    out["canonical"].write.mode("overwrite").parquet(os.path.join(args.output, "canonical"))
-    pipe.metrics_df().write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
+    # pairs output = union of the SELECTED detectors, tagged by detector
+    pairs_out = None
+    for name, tbl in detector_tables.items():
+        tagged = tbl.withColumn("detector", F.lit(name))
+        pairs_out = tagged if pairs_out is None else pairs_out.unionByName(tagged)
+    pairs_out.write.mode("overwrite").parquet(os.path.join(args.output, "pairs"))
+    canonical.write.mode("overwrite").parquet(os.path.join(args.output, "canonical"))
+    if pipe:
+        pipe.metrics_df().write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
 
     elapsed = time.monotonic() - t0
-    n_docs = out["prepared"].count()
+    n_docs = pages.count()
     summary = {
         "docs": n_docs,
         "seconds": round(elapsed, 2),
         "docs_per_sec": round(n_docs / elapsed, 1),
-        "verified_pairs": out["verified"].count(),
+        "verified_pairs": out["verified"].count() if pipe else edges.count(),
         "clusters": clusters.select("cluster_id").distinct().count(),
         "detectors": detectors,
         **extra_counts,
-        "stage_seconds": {m.stage: round(m.seconds, 2) for m in pipe.metrics},
+        "stage_seconds": {m.stage: round(m.seconds, 2) for m in pipe.metrics} if pipe else {},
     }
     print("SUMMARY " + json.dumps(summary))
     return summary

@@ -48,6 +48,12 @@ class DedupConfig:
     # spans >= substr_min_span is exactly 1.0.
     substr_min_span: int = 64
     substr_kgram: int = 16
+    # Hard per-doc length cap (normalized chars) for the substring detector:
+    # one un-capped multi-MB text would dominate its verify task (the LCS
+    # kernel is O(n log n) per pair). Spans are detected within the first
+    # substr_max_chars of each doc — documented recall bound, never a stall.
+    # None disables.
+    substr_max_chars: int | None = 50_000
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
     # Close-match window for canonical-doc election (reference analog:

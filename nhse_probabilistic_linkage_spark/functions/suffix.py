@@ -25,16 +25,22 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 
-def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of an int array via prefix doubling (numpy-vectorized)."""
+def suffix_array_with_levels(s: np.ndarray) -> tuple[np.ndarray, list]:
+    """Suffix array via prefix doubling (numpy-vectorized), plus the rank
+    snapshot of every doubling level: levels = [(k, rank_k), ...] where
+    rank_k[i] == rank_k[j] iff suffixes i and j share their first k
+    characters (truncation-aware via the -1 sentinel). The snapshots turn
+    LCP queries into log(n) vectorized passes (see lcp_of_pairs) — no
+    scalar Python loop anywhere in the kernel."""
     n = s.shape[0]
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), []
     # initial ranks from single characters
     _, rank = np.unique(s, return_inverse=True)
     rank = rank.astype(np.int64)
-    idx = np.arange(n, dtype=np.int64)
+    levels = [(1, rank.astype(np.int32))]
     k = 1
+    order = np.arange(n, dtype=np.int64)
     while True:
         # sort by (rank[i], rank[i+k]); -1 = past the end (sorts first)
         key2 = np.full(n, -1, dtype=np.int64)
@@ -48,17 +54,44 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
         new_rank = np.empty(n, dtype=np.int64)
         new_rank[order] = np.cumsum(changed)
         rank = new_rank
-        if rank[order[-1]] == n - 1:
-            return order
         k *= 2
-        if k >= n:
-            return order
-    return idx  # unreachable
+        levels.append((k, rank.astype(np.int32)))
+        if rank[order[-1]] == n - 1 or k >= n:
+            return order, levels
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an int array via prefix doubling (numpy-vectorized)."""
+    return suffix_array_with_levels(s)[0]
+
+
+def lcp_of_pairs(levels: list, i: np.ndarray, j: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized LCP of arbitrary suffix pairs (i[k], j[k]) from the
+    doubling-rank snapshots: walk the levels largest-first, consuming a step
+    of size k wherever the two suffixes' length-k prefixes agree. Any lcp
+    value is a sum of distinct available powers of two, and the steps are
+    length-guarded so truncated suffix ranks never overcount. O(log n)
+    numpy passes over the pair arrays — replaces the per-pair scalar Kasai
+    walk that stalled a task on pathological long texts."""
+    i = i.astype(np.int64).copy()
+    j = j.astype(np.int64).copy()
+    h = np.zeros(i.shape[0], dtype=np.int64)
+    for k, rank in reversed(levels):
+        ok = (i + k <= n) & (j + k <= n)
+        ii = np.minimum(i, n - 1)
+        jj = np.minimum(j, n - 1)
+        step = (ok & (rank[ii] == rank[jj])).astype(np.int64) * k
+        h += step
+        i += step
+        j += step
+    return h
 
 
 def kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
     """LCP array: lcp[i] = common-prefix length of suffixes sa[i-1], sa[i].
-    Kasai's O(n) algorithm (scalar loop; n = pair length, bounded upstream).
+    Kasai's O(n) algorithm. Scalar Python loop — kept as the independent
+    oracle for the vectorized lcp_of_pairs in tests; the production kernel
+    (longest_common_substring) no longer calls it.
     """
     n = s.shape[0]
     lcp = np.zeros(n, dtype=np.int64)
@@ -85,7 +118,12 @@ def kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 
 def longest_common_substring(a: str, b: str) -> int:
-    """Exact longest common substring length of two strings."""
+    """Exact longest common substring length of two strings.
+
+    Max LCP over suffix-array-adjacent suffixes that start on opposite sides
+    of the separator (the classic reduction); the LCPs come from the
+    vectorized doubling-rank walk, computed only for the cross-boundary
+    adjacent pairs."""
     if not a or not b:
         return 0
     ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
@@ -93,14 +131,14 @@ def longest_common_substring(a: str, b: str) -> int:
     # separator below any valid codepoint so it never extends a match
     sep = np.array([-1], dtype=np.int64)
     s = np.concatenate([ca, sep, cb])
-    sa = suffix_array(s)
-    lcp = kasai_lcp(s, sa)
+    sa, levels = suffix_array_with_levels(s)
     na = ca.shape[0]
     from_a = sa < na  # suffixes starting in a (separator suffix counts as b-side)
     cross = from_a[1:] != from_a[:-1]
     if not cross.any():
         return 0
-    return int(lcp[1:][cross].max())
+    lcp = lcp_of_pairs(levels, sa[:-1][cross], sa[1:][cross], s.shape[0])
+    return int(lcp.max())
 
 
 def make_lcs_udf():

@@ -80,19 +80,39 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(src,dst) undirected edge DataFrame -> (id, component) assignment where
     component = min node id in the component. Only nodes that appear in an
     edge are returned; callers union isolated nodes back (see
-    assign_components)."""
+    assign_components).
+
+    Frontier durability: by default each round is cut with an eager
+    localCheckpoint — fast, but executor-LOCAL (an executor loss kills the
+    job and pins executor memory for the run). When `checkpoint_dir` is set,
+    rounds stage to parquet under it instead (round files alternate between
+    two slots, so disk use is bounded at 2x the frontier): any-FS durable,
+    survives executor loss, and doubles as a mid-CC resume point for very
+    large graphs. Use the dir on multi-executor clusters; local mode is fine
+    without."""
+
+    def _cut(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        from nhse_probabilistic_linkage_spark.sources import fs
+
+        path = fs.join(checkpoint_dir, f"cc_round_{rnd % 2}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     cur = _canonical(edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")))
-    cur = cur.localCheckpoint(eager=True)
+    cur = _cut(cur, 0)
     prev_sig = _checksum(cur)
     if prev_sig[0] == 0:
         return cur.sparkSession.createDataFrame([], "id bigint, component bigint")
 
-    for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        cur = _cut(_small_star(_large_star(cur)), i + 1)
         sig = _checksum(cur)
         if sig == prev_sig:
             break
@@ -112,10 +132,11 @@ def assign_components(
     id_col: str = "doc_id",
     out_col: str = "cluster_id",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster assignment for every doc: connected-component min id for docs
     with at least one duplicate edge, own id for singletons."""
-    comps = connected_components(edges, max_iterations=max_iterations)
+    comps = connected_components(edges, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir)
     return (
         docs.select(F.col(id_col).cast("long").alias(id_col))
         .join(comps.withColumnRenamed("id", id_col), id_col, "left")

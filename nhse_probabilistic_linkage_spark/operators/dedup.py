@@ -154,4 +154,5 @@ def substring_dedup_pairs(
         id_col=id_col,
         text_col=text_col,
         band_cap=config.band_cap,
+        max_chars=config.substr_max_chars,
     )

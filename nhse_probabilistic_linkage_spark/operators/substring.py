@@ -54,6 +54,7 @@ def substring_pairs(
     text_col: str = "text",
     band_cap: int | None = 5000,
     normalized: bool = False,
+    max_chars: int | None = 50_000,
 ) -> tuple[DataFrame, DataFrame]:
     """text -> pairs sharing an exact normalized-character span >= min_span.
 
@@ -63,12 +64,23 @@ def substring_pairs(
 
     Winnowing window W = min_span - kgram + 1 gives the published guarantee
     threshold t = W + kgram - 1 = min_span.
+
+    max_chars hard-caps every doc's normalized text BEFORE fingerprinting,
+    so both candidate generation and the LCS verify see the same bounded
+    input — the per-task worst case is capped structurally (one pathological
+    multi-MB page cannot stall a verify task). Spans are then detected
+    within the first max_chars characters of each doc; like the band cap,
+    this is a documented bound, not a silent drop.
     """
     if min_span <= kgram:
         raise ValueError(f"min_span ({min_span}) must exceed kgram ({kgram})")
+    if max_chars is not None and max_chars < min_span:
+        raise ValueError(f"max_chars ({max_chars}) must be >= min_span ({min_span})")
     window = min_span - kgram + 1
 
     norm = F.col(text_col) if normalized else normalize_text(F.col(text_col))
+    if max_chars is not None:
+        norm = F.substring(norm, 1, max_chars)
     docs = df.select(F.col(id_col), norm.alias("norm_text"))
     # Reused by candidate generation AND both sides of the LCS verify join.
     # Eager checkpoint, not persist: the band self-join references this

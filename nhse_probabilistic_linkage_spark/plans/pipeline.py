@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -32,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.sources import fs
 from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
 from nhse_probabilistic_linkage_spark.functions.simhash import with_simhash
 from nhse_probabilistic_linkage_spark.functions.text import prepare_docs
@@ -73,30 +73,33 @@ class DedupPipeline:
         self.run_id: str | None = None
 
     # -- checkpoint plumbing -------------------------------------------------
+    # All control-file IO goes through the Hadoop FS API (sources/fs.py):
+    # the checkpoint dir may be file:, hdfs:, s3a:, ... — os.* would only see
+    # the driver's local disk and silently break resume on a real cluster.
     def _stage_path(self, stage: str) -> str | None:
-        return os.path.join(self.checkpoint_dir, stage) if self.checkpoint_dir else None
+        return fs.join(self.checkpoint_dir, stage) if self.checkpoint_dir else None
 
     def _manifest_path(self) -> str | None:
-        return os.path.join(self.checkpoint_dir, "manifest.json") if self.checkpoint_dir else None
+        return fs.join(self.checkpoint_dir, "manifest.json") if self.checkpoint_dir else None
 
     def _load_manifest(self, input_fingerprint: str) -> dict:
         fresh = {"config": self.config.to_json(), "input": input_fingerprint, "done": []}
         p = self._manifest_path()
-        if p and os.path.exists(p):
-            with open(p) as f:
-                m = json.load(f)
-            # config OR input changed -> stale checkpoints must not be reused
-            if m.get("config") != self.config.to_json() or m.get("input") != input_fingerprint:
-                return fresh
-            return m
+        if p:
+            raw = fs.read_text(self.spark, p)
+            if raw is not None:
+                m = json.loads(raw)
+                # config OR input changed -> stale checkpoints must not be reused
+                if m.get("config") != self.config.to_json() or m.get("input") != input_fingerprint:
+                    return fresh
+                return m
         return fresh
 
     def _save_manifest(self, manifest: dict) -> None:
         p = self._manifest_path()
         if p:
-            os.makedirs(self.checkpoint_dir, exist_ok=True)
-            with open(p, "w") as f:
-                json.dump(manifest, f, indent=2)
+            fs.mkdirs(self.spark, self.checkpoint_dir)
+            fs.write_text(self.spark, p, json.dumps(manifest, indent=2))
 
     def _materialize(self, df: DataFrame, stage: str, manifest: dict) -> DataFrame:
         """Run a stage: reuse its checkpoint if the manifest says it's done,
@@ -193,6 +196,10 @@ class DedupPipeline:
                 prepared,
                 verified.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")),
                 id_col=self.id_col,
+                # CC frontiers ride the same durable checkpoint dir as the
+                # stages: executor loss mid-CC then costs one round, not the
+                # whole job (localCheckpoint frontiers are executor-local).
+                checkpoint_dir=fs.join(self.checkpoint_dir, "cc") if self.checkpoint_dir else None,
             ),
             "clusters",
             manifest,
@@ -240,9 +247,9 @@ class DedupPipeline:
     def write_metrics(self) -> None:
         if self.checkpoint_dir:
             self.metrics_df().write.mode("overwrite").parquet(
-                os.path.join(self.checkpoint_dir, "metrics")
+                fs.join(self.checkpoint_dir, "metrics")
             )
             if self.lineage_rows:
                 self.lineage_df().write.mode("append").parquet(
-                    os.path.join(self.checkpoint_dir, "lineage")
+                    fs.join(self.checkpoint_dir, "lineage")
                 )

@@ -16,16 +16,23 @@ stream-static interaction that needs multi-step batch logic):
       3. band-join:  new x new   (candidate_pairs — caps/salting included)
                    + new x old   (join against the persisted band store)
       4. exact-Jaccard verify (shingles of old docs come from the store)
-      5. append verified pairs;  append new doc signatures+bands to store
+      5. write verified pairs + new signatures + new bands, then commit
 
-The store is two parquet tables under `state_dir`:
-  sigs/   (doc_id, shingles, minhash)          — verify-side lookup
-  bands/  (doc_id, band_id, band_key, bucket)  — candidate-side lookup,
-          partitioned by bucket = pmod(band_key, n_buckets) so the new-vs-old
-          band join prunes to the buckets the current batch actually touches
-          (partition pruning via an IN filter on the tiny distinct-bucket
-          list; at 10^12-doc scale this is the difference between scanning
-          the whole band history and a few percent of it).
+The store is three parquet tables under `state_dir`, each partitioned by
+batch_id (bands additionally by bucket = pmod(band_key, n_buckets) so the
+new-vs-old band join prunes to the buckets the current batch touches — at
+10^12-doc scale the difference between scanning the whole band history and
+a few percent of it). All probing goes through spark.read / the Hadoop FS
+API, never os.* — the state dir may live on HDFS/S3/DBFS.
+
+Exactly-once semantics under foreachBatch's at-least-once contract:
+  - every write carries the batch_id and uses DYNAMIC partition overwrite,
+    so a replayed batch replaces exactly its own partitions (partial output
+    from a crashed attempt included) instead of appending duplicates;
+  - reads inside the batch exclude rows with the current batch_id, so a
+    crashed attempt's partial output can never mask its own replay;
+  - a commit marker (commits/batch-N, written last via the Hadoop FS API)
+    short-circuits replays of fully-committed batches.
 
 Clusters are NOT maintained incrementally — connected components is a cheap
 global pass over the (append-only) verified-pairs table; call recluster()
@@ -35,8 +42,7 @@ clustering is a downstream consumer of the pair table).
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,8 +52,11 @@ from nhse_probabilistic_linkage_spark.functions.text import prepare_docs
 from nhse_probabilistic_linkage_spark.operators.connected_components import assign_components
 from nhse_probabilistic_linkage_spark.operators.lsh import band_keys, candidate_pairs
 from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
+from nhse_probabilistic_linkage_spark.sources import fs
 
-PAIRS_SCHEMA = "id_l long, id_r long, match_key int, jaccard double"
+PAIRS_SCHEMA = "id_l long, id_r long, match_key int, jaccard double, batch_id long"
+SIGS_SCHEMA = "doc_id long, shingles array<bigint>, minhash array<bigint>, batch_id long"
+BANDS_SCHEMA = "doc_id long, band_id int, band_key long, bucket int, batch_id long"
 
 
 class IncrementalDedup:
@@ -62,35 +71,68 @@ class IncrementalDedup:
         self.state_dir = state_dir
         self.config = config or DedupConfig()
         self.n_buckets = n_buckets
-        self.sigs_path = os.path.join(state_dir, "sigs")
-        self.bands_path = os.path.join(state_dir, "bands")
-        self.pairs_path = os.path.join(state_dir, "pairs")
+        self.sigs_path = fs.join(state_dir, "sigs")
+        self.bands_path = fs.join(state_dir, "bands")
+        self.pairs_path = fs.join(state_dir, "pairs")
 
     # -- store access ---------------------------------------------------------
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") or f.startswith("bucket=") or f == "_SUCCESS"
-            for f in os.listdir(path)
-        ):
+        """FS-agnostic probe: attempt the read and fall back to an empty
+        DataFrame when the path does not exist yet. (os.path/os.listdir would
+        only see the driver's local disk and read a remote store as
+        permanently empty — silently re-inserting every batch.)"""
+        try:
             return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
 
     def stored_sigs(self) -> DataFrame:
-        return self._read_or_empty(self.sigs_path, "doc_id long, shingles array<bigint>, minhash array<bigint>")
+        return self._read_or_empty(self.sigs_path, SIGS_SCHEMA)
 
     def stored_bands(self) -> DataFrame:
-        return self._read_or_empty(self.bands_path, "doc_id long, band_id int, band_key long, bucket int")
+        return self._read_or_empty(self.bands_path, BANDS_SCHEMA)
 
     def verified_pairs(self) -> DataFrame:
         return self._read_or_empty(self.pairs_path, PAIRS_SCHEMA)
 
+    def _commit_marker(self, batch_id: int) -> str:
+        return fs.join(self.state_dir, "commits", f"batch-{batch_id}")
+
+    def _write_batch(self, df: DataFrame, path: str, batch_id: int, partition_cols: list[str]) -> None:
+        """Idempotent per-batch write: dynamic partition overwrite replaces
+        only this batch's partitions, so a replay after a mid-batch crash
+        cleans up its own partial output instead of duplicating it."""
+        (
+            df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
+    def _scrub_batch(self, batch_id: int) -> None:
+        """Remove any partial output a crashed attempt of this batch left
+        behind. Dynamic partition overwrite already replaces partitions the
+        replay re-writes, but a replay that takes an early exit (e.g. every
+        doc turns out to be already seen) writes nothing — the leftovers
+        must still disappear or they'd be stranded junk rows forever."""
+        for path in (self.pairs_path, self.sigs_path, self.bands_path):
+            fs.delete(self.spark, fs.join(path, f"batch_id={batch_id}"), recursive=True)
+
     # -- the micro-batch body ---------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         cfg = self.config
+        if fs.exists(self.spark, self._commit_marker(batch_id)):
+            return  # at-least-once replay of an already-committed batch
+        self._scrub_batch(batch_id)
         if "doc_id" not in batch.columns:
             batch = batch.withColumn("doc_id", F.xxhash64("url"))
 
-        old_sigs = self.stored_sigs()
+        # exclude the current batch_id from all state reads: a crashed prior
+        # attempt of THIS batch may have left partial rows that the dynamic
+        # overwrite below is about to replace — they must not count as "seen"
+        not_this_batch = F.col("batch_id") != F.lit(batch_id)
+        old_sigs = self.stored_sigs().where(not_this_batch)
         new = (
             batch.select("doc_id", "text")
             .dropDuplicates(["doc_id"])  # same url twice within a batch
@@ -101,6 +143,7 @@ class IncrementalDedup:
         docs = with_minhash(docs, num_perms=cfg.num_perms, seed=cfg.minhash_seed)
         docs = docs.localCheckpoint(eager=True)  # cut lineage; reused 4x below
         if docs.isEmpty():
+            fs.touch(self.spark, self._commit_marker(batch_id))
             return
 
         nb = band_keys(docs, bands=cfg.bands, rows_per_band=cfg.rows_per_band)
@@ -115,7 +158,7 @@ class IncrementalDedup:
 
         # new x old — bucket-pruned scan of the band history
         touched = [r["bucket"] for r in nb.select("bucket").distinct().collect()]
-        ob = self.stored_bands().where(F.col("bucket").isin(touched))
+        ob = self.stored_bands().where(F.col("bucket").isin(touched) & not_this_batch)
         no_cands = (
             nb.select("band_key", "band_id", F.col("doc_id").alias("id_new"))
             .join(ob.select("band_key", F.col("doc_id").alias("id_old")), "band_key")
@@ -137,11 +180,19 @@ class IncrementalDedup:
         out = nn.unionByName(no).select(
             "id_l", "id_r", F.col("match_key").cast("int").alias("match_key"), "jaccard"
         )
-        out.write.mode("append").parquet(self.pairs_path)
-        docs.select("doc_id", "shingles", "minhash").write.mode("append").parquet(self.sigs_path)
-        nb.select("doc_id", "band_id", "band_key", "bucket").write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(self.bands_path)
+        self._write_batch(out, self.pairs_path, batch_id, ["batch_id"])
+        self._write_batch(
+            docs.select("doc_id", "shingles", "minhash"), self.sigs_path, batch_id, ["batch_id"]
+        )
+        self._write_batch(
+            nb.select("doc_id", "band_id", "band_key", "bucket"),
+            self.bands_path,
+            batch_id,
+            ["batch_id", "bucket"],
+        )
+        # marker last: anything before a marker is replay-overwritten, anything
+        # after it is skipped wholesale — no state can be half-committed
+        fs.touch(self.spark, self._commit_marker(batch_id))
 
     # -- wiring ----------------------------------------------------------------
     def start(self, stream: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):

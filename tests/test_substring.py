@@ -67,6 +67,63 @@ def test_lcs_planted_span():
     assert longest_common_substring(a, b) == 200
 
 
+def test_lcp_of_pairs_matches_kasai():
+    """The vectorized doubling-rank LCP must agree with the scalar Kasai
+    oracle on every adjacent suffix pair, across random strings."""
+    from nhse_probabilistic_linkage_spark.functions.suffix import (
+        lcp_of_pairs,
+        suffix_array_with_levels,
+    )
+
+    rng = random.Random(77)
+    for _ in range(30):
+        txt = "".join(rng.choice("abc") for _ in range(rng.randint(1, 300)))
+        s = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        sa, levels = suffix_array_with_levels(s)
+        want = kasai_lcp(s, sa)[1:]
+        got = lcp_of_pairs(levels, sa[:-1], sa[1:], s.shape[0])
+        assert got.tolist() == want.tolist(), txt
+
+
+def test_lcs_large_pathological_input_is_fast():
+    """The scale guard: a pathological highly-repetitive 50k-char pair (the
+    worst case for suffix sorting) must verify in bounded time — this is
+    the kernel a verify task runs per candidate pair."""
+    import time
+
+    a = "ab" * 25_000
+    b = "ba" * 25_000
+    t0 = time.monotonic()
+    got = longest_common_substring(a, b)
+    assert got == 49_999
+    assert time.monotonic() - t0 < 10.0  # generous for CI noise; was minutes with scalar Kasai
+
+
+def test_substring_pairs_max_chars_cap(spark):
+    """Docs capped at max_chars: a span planted beyond the cap is not found
+    (documented bound), a span within it is."""
+    early = "sharedspanwithinthecapzone" * 4  # >64 chars, inside cap
+    late = "latesharedspanbeyondcapboundary" * 4
+    filler = "x y z w v u t s r q p o n m l k " * 40  # ~1280 normalized chars
+    rows = [
+        (1, early + " " + filler + " " + late),
+        (2, early + " " + "completely different middle content here" + " " + "other tail"),
+        (3, filler.replace("x", "j") + " " + late),
+        (4, "nothing shared with anyone at all in this one document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap 200: doc1+doc2 share `early` inside the cap; doc1+doc3 share `late`
+    # but in doc1 it sits past the cap -> not detected
+    pairs, _ = substring_pairs(df, min_span=64, max_chars=200)
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+    # uncapped: both pairs surface
+    pairs_full, _ = substring_pairs(df, min_span=64, max_chars=None)
+    got_full = {(r["id_l"], r["id_r"]) for r in pairs_full.collect()}
+    assert {(1, 2), (1, 3)} <= got_full
+
+
 def test_kgram_rolling_hash_consistency():
     # same k-gram content -> same hash regardless of position/surrounding
     c1 = np.frombuffer("XXabcdefghYY".encode("utf-32-le"), dtype=np.uint32)
