@@ -40,6 +40,15 @@ from nhse_probabilistic_linkage_spark.operators.similarity import (
     embedding_neardup_pairs,
 )
 from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
+from nhse_probabilistic_linkage_spark.functions.sampling import (
+    affine_bucket_expr,
+    affine_bucket_sql,
+    sample_pairs,
+)
+from nhse_probabilistic_linkage_spark.operators.agreement import agreement_vectors
+from nhse_probabilistic_linkage_spark.operators.lookup import lookup_enrich_array, lookup_replace
+from nhse_probabilistic_linkage_spark.operators.nested import explode_history, recombine_histories
+from nhse_probabilistic_linkage_spark.operators.verify import similarity_buckets, verify_pairs
 from nhse_probabilistic_linkage_spark.sources.tables import load_table
 
 
@@ -473,6 +482,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q43_explode_outer_window_prune"] = q43_explode_outer_window_prune
 
+    def q17_lookup_replace_enrich(spark, sf_dir):
+        # broadcast lookup-and-replace (supersession semantics,
+        # reference utils/dataset_ingestion_utils.py:87-103) + array-enrich
+        # lookup with empty-array default (nicknames,
+        # utils/preprocessing_utils.py:508-540)
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        supersede = n.filter(F.col("n_regionkey") == 0).select(
+            F.col("n_nationkey").alias("old_key"),
+            (F.col("n_nationkey") + 100).alias("new_key"),
+        )
+        out = lookup_replace(c, supersede, "c_nationkey", "old_key", "new_key",
+                             out_col="nation_resolved")
+        aliases = (
+            c.select("c_mktsegment").distinct()
+            .select(
+                F.col("c_mktsegment").alias("seg"),
+                F.array(F.lower("c_mktsegment"), F.substring("c_mktsegment", 1, 3)).alias("alts"),
+            )
+        )
+        out = lookup_enrich_array(out, aliases, "c_mktsegment", "seg", "alts", "seg_names")
+        return out.select(
+            "c_custkey", "c_nationkey", "nation_resolved",
+            F.concat_ws(",", "seg_names").alias("seg_names"),
+        )
+
+    q["q17_lookup_replace_enrich"] = q17_lookup_replace_enrich
+
+    def q34_hash_bucket_sample(spark, sf_dir):
+        # deterministic 1/k bucketing subsample (SURVEY §2.6 row 35 — the
+        # reference's rand(seed=42) bucketing,
+        # select_training_data_dedupe.py:58-65) keyed on a stable hash so
+        # membership survives repartitioning/resume; the affine variant is
+        # bit-reproducible in the DuckDB oracle
+        o = _t(spark, sf_dir, "orders")
+        return o.where(affine_bucket_expr("o_orderkey", 16) == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+
+    q["q34_hash_bucket_sample"] = q34_hash_bucket_sample
+
+    def q35_pair_sample(spark, sf_dir):
+        # u-style random-pair sampler (SURVEY §2.6 row 34 — the reference's
+        # orderBy(rand(seed)).limit / Splink u-estimation analog): two thin
+        # deterministic side-samples joined, never a global sort or full
+        # pair materialization
+        c = _t(spark, sf_dir, "customer")
+        return sample_pairs(c, "c_custkey", 8, method="affine")
+
+    q["q35_pair_sample"] = q35_pair_sample
+
+    def q36_micro_filters(spark, sf_dir):
+        # startswith prefix filter (mps_comparison_evaluation.py:164),
+        # asc_nulls_last ordering (blocking_evaluation_dedupe.py:115) made
+        # semantically observable via limit, and fillna
+        # (mps_comparison_evaluation.py:130)
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.where(F.col("event_type").startswith("c"))
+            .where(F.pmod("event_id", F.lit(37)) == 0)
+            .orderBy(F.col("value").asc_nulls_last(), F.col("event_id").asc())
+            .limit(40)
+            .fillna({"value": -1.0})
+            .select("event_id", "event_type", F.col("value").alias("value_filled"))
+        )
+
+    q["q36_micro_filters"] = q36_micro_filters
+
+    def q44_nested_history(spark, sf_dir):
+        # array<struct> history columns: null-strip -> explode_outer ->
+        # field access -> dedup -> window null-prune, then the multi-way
+        # OUTER recombination (the reference's core ingest shape,
+        # utils/dataset_ingestion_utils.py:358-453, cartesian at :433-437)
+        docs = _t(spark, sf_dir, "documents")
+        toks = tokenize(F.col("text"))
+        as_hist = lambda arr: F.transform(
+            arr, lambda t, i: F.struct(t.alias("tok"), (i + 1).alias("pos"))
+        )
+        with_hist = docs.select(
+            "doc_id",
+            as_hist(F.slice(toks, 1, 2)).alias("lead_hist"),
+            as_hist(F.slice(F.reverse(toks), 1, 2)).alias("tail_hist"),
+        )
+        lead = explode_history(with_hist, "doc_id", "lead_hist", fields=["tok"], prefix="lead_")
+        tail = explode_history(with_hist, "doc_id", "tail_hist", fields=["tok"], prefix="tail_")
+        return recombine_histories([lead, tail], "doc_id")
+
+    q["q44_nested_history"] = q44_nested_history
+
+    def q45_agreement_vectors(spark, sf_dir):
+        # detector-agreement vectors over two SQL-expressible detectors —
+        # the reference's agreement pattern (utils/eval_utils.py:207-215):
+        # per distinct pair, per-detector flags + concatenated pattern
+        docs = _t(spark, sf_dir, "documents")
+        groups = exact_dedup(docs).where("group_size > 1")
+        exact_pairs = (
+            groups.alias("l")
+            .join(
+                groups.alias("r"),
+                (F.col("l.rep_id") == F.col("r.rep_id"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        )
+        jac_pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.5).select("id_l", "id_r")
+        av = agreement_vectors({"exact": exact_pairs, "jaccard": jac_pairs})
+        return av.select(
+            "id_l", "id_r", "exact_found", "jaccard_found", "agreement_pattern", "n_detectors"
+        )
+
+    q["q45_agreement_vectors"] = q45_agreement_vectors
+
     # ---- dedup suite (north-star operators)
     def q50_exact_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -528,10 +649,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q55_simhash_pairs"] = q55_simhash_pairs  # rows-only (hash-dependent)
 
     def q56_minhash_signatures(spark, sf_dir):
-        docs = prepare_docs(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-        return with_minhash(docs).select("doc_id", F.size("minhash").alias("sig_len"))
+        # signature invariants the oracle CAN check: every signature is
+        # exactly num_perms long, and identical normalized text => identical
+        # signature (determinism of the Arrow kernel) — so the oracle is a
+        # constant-truth table over documents
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        sigs = with_minhash(prepare_docs(docs)).select(
+            "doc_id",
+            normalize_text(F.col("text")).alias("_norm"),
+            F.size("minhash").alias("sig_len"),
+            F.xxhash64(F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))).alias("_sig_h"),
+        )
+        per_text = sigs.groupBy("_norm").agg(F.countDistinct("_sig_h").alias("_n_sigs"))
+        return (
+            sigs.join(per_text, "_norm")
+            .select("doc_id", "sig_len", (F.col("_n_sigs") == 1).alias("sig_consistent"))
+        )
 
-    q["q56_minhash_signatures"] = q56_minhash_signatures  # rows-only
+    q["q56_minhash_signatures"] = q56_minhash_signatures
+
+    def q58_simhash_sanity(spark, sf_dir):
+        # hard correctness signal for detector #2 (SimHash): (a) no simhash
+        # pair may have exact shingle-jaccard below a sanity floor (hamming
+        # <= 3 of 64 implies high similarity), (b) every identical-text pair
+        # MUST be found (identical text -> identical simhash -> shared
+        # pigeonhole block -> hamming 0). Reference analog: missed_duplicate
+        # accounting, utils/eval_utils.py:451-481. Oracle: SELECT 0, 0.
+        docs = _t(spark, sf_dir, "documents")
+        cfg = DedupConfig()
+        sh = simhash_pairs(docs, cfg).select("id_l", "id_r").localCheckpoint(eager=True)
+        prepared = prepare_docs(docs.select("doc_id", "text")).select("doc_id", "shingles")
+        scored = verify_pairs(sh, prepared)
+        lowjac = scored.agg(
+            F.coalesce(F.sum(F.when(F.col("jaccard") < 0.2, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_lowjac")
+        )
+        groups = exact_dedup(docs).where("group_size > 1")
+        dup_pairs = (
+            groups.alias("l")
+            .join(
+                groups.alias("r"),
+                (F.col("l.rep_id") == F.col("r.rep_id"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        )
+        missed = dup_pairs.join(sh, ["id_l", "id_r"], "left_anti").agg(
+            F.count("*").cast("long").alias("n_missed_exact")
+        )
+        return lowjac.crossJoin(missed)
+
+    q["q58_simhash_sanity"] = q58_simhash_sanity
+
+    def q59_similarity_buckets(spark, sf_dir):
+        # gamma-analog ordinal similarity levels per verified pair
+        # (reference comparison levels, utils/parameter_lists.py:2-60)
+        pairs = _spark_jaccard_pairs(spark, sf_dir, 0.3)
+        return similarity_buckets(pairs).select("id_l", "id_r", "jaccard", "sim_level")
+
+    q["q59_similarity_buckets"] = q59_similarity_buckets
 
     # ---- similarity search
     def q60_embedding_neardup(spark, sf_dir):
@@ -555,6 +732,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q61_ann_topk"] = q61_ann_topk
+
+    def q63_embedding_lsh_recall(spark, sf_dir):
+        # the SCALE path for embedding near-dup (multi-table hyperplane LSH
+        # + exact-cosine verify) cross-checked against the exact all-pairs
+        # result: precision violations must be 0 (the verify guarantees it)
+        # and recall must clear the model's floor. Deterministic (seeded
+        # hyperplanes), so the oracle is constant truth.
+        em = _t(spark, sf_dir, "embeddings")
+        em = em.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        lsh = embedding_neardup_pairs(em, threshold=0.4, exact=False).select(
+            "id_l", "id_r"
+        ).localCheckpoint(eager=True)
+        exact = embedding_neardup_pairs(em, threshold=0.4, exact=True).select(
+            "id_l", "id_r"
+        ).localCheckpoint(eager=True)
+        prec = lsh.join(exact, ["id_l", "id_r"], "left_anti").agg(
+            F.count("*").cast("long").alias("n_precision_violations")
+        )
+        rec = (
+            exact.join(lsh.withColumn("_hit", F.lit(1)), ["id_l", "id_r"], "left")
+            .agg((F.sum(F.coalesce("_hit", F.lit(0))) / F.count("*")).alias("_recall"))
+            .select((F.col("_recall") >= 0.9).alias("recall_ok"))
+        )
+        return prec.crossJoin(rec)
+
+    q["q63_embedding_lsh_recall"] = q63_embedding_lsh_recall
 
     def q62_label_centroid_similarity(spark, sf_dir):
         # groupBy agg over array columns: per-label mean vector then each
@@ -795,6 +998,60 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY pos
     """
 
+    o["q17_lookup_replace_enrich"] = """
+        WITH sup AS (
+          SELECT n_nationkey AS old_key, n_nationkey + 100 AS new_key
+          FROM nation WHERE n_regionkey = 0
+        ),
+        seg AS (
+          SELECT DISTINCT c_mktsegment AS seg,
+                 [lower(c_mktsegment), substring(c_mktsegment, 1, 3)] AS alts
+          FROM customer
+        )
+        SELECT c_custkey, c_nationkey,
+               coalesce(s.new_key, c_nationkey) AS nation_resolved,
+               array_to_string(list_concat([c_mktsegment], coalesce(g.alts, [])), ',') AS seg_names
+        FROM customer c
+        LEFT JOIN sup s ON c.c_nationkey = s.old_key
+        LEFT JOIN seg g ON c.c_mktsegment = g.seg
+    """
+
+    o["q34_hash_bucket_sample"] = f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE {affine_bucket_sql('o_orderkey', 16)} = 0
+    """
+
+    o["q35_pair_sample"] = f"""
+        WITH l AS (SELECT c_custkey AS id_l FROM customer
+                   WHERE {affine_bucket_sql('c_custkey', 8, offset=17)} = 0),
+             r AS (SELECT c_custkey AS id_r FROM customer
+                   WHERE {affine_bucket_sql('c_custkey', 8, offset=18)} = 0)
+        SELECT id_l, id_r FROM l, r WHERE id_l < id_r
+    """
+
+    o["q36_micro_filters"] = """
+        SELECT event_id, event_type, coalesce(value, -1.0) AS value_filled
+        FROM (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type LIKE 'c%' AND ((event_id % 37) + 37) % 37 = 0
+            ORDER BY value ASC NULLS LAST, event_id ASC
+            LIMIT 40
+        )
+    """
+
+    o["q56_minhash_signatures"] = """
+        SELECT doc_id, CAST(128 AS INT) AS sig_len, true AS sig_consistent
+        FROM documents
+    """
+
+    o["q58_simhash_sanity"] = """
+        SELECT CAST(0 AS BIGINT) AS n_lowjac, CAST(0 AS BIGINT) AS n_missed_exact
+    """
+
+    o["q63_embedding_lsh_recall"] = """
+        SELECT CAST(0 AS BIGINT) AS n_precision_violations, true AS recall_ok
+    """
+
     _norm = "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
 
     o["q42_array_ops"] = f"""
@@ -817,6 +1074,75 @@ def oracle_sql() -> dict[str, str]:
                count(tok) AS n_long_tokens,
                CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows
         FROM exploded GROUP BY doc_id
+    """
+
+    o["q44_nested_history"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        le AS (
+          SELECT doc_id, unnest(CASE WHEN len(lst) = 0 THEN [NULL] ELSE lst END) AS lead_tok
+          FROM (SELECT doc_id, list_distinct(t[1:2]) AS lst FROM toks)
+        ),
+        ta AS (
+          SELECT doc_id, unnest(CASE WHEN len(lst) = 0 THEN [NULL] ELSE lst END) AS tail_tok
+          FROM (SELECT doc_id, list_distinct(list_reverse(t)[1:2]) AS lst FROM toks)
+        )
+        SELECT coalesce(le.doc_id, ta.doc_id) AS doc_id, lead_tok, tail_tok
+        FROM le FULL OUTER JOIN ta ON le.doc_id = ta.doc_id
+    """
+
+    o["q45_agreement_vectors"] = f"""
+        WITH {_SHINGLES_CTE},
+        inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+        ),
+        scored AS (
+          SELECT c.id_l, c.id_r,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM cand c JOIN sh a ON c.id_l = a.doc_id JOIN sh b ON c.id_r = b.doc_id
+        ),
+        jp AS (SELECT id_l, id_r FROM scored WHERE jaccard >= 0.5),
+        nrm AS (SELECT doc_id, {_norm} AS nt FROM documents),
+        grp AS (
+          SELECT doc_id, nt FROM nrm
+          WHERE nt IN (SELECT nt FROM nrm GROUP BY nt HAVING count(*) > 1)
+        ),
+        ep AS (
+          SELECT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM grp l JOIN grp r ON l.nt = r.nt AND l.doc_id < r.doc_id
+        )
+        SELECT coalesce(e.id_l, j.id_l) AS id_l,
+               coalesce(e.id_r, j.id_r) AS id_r,
+               e.id_l IS NOT NULL AS exact_found,
+               j.id_l IS NOT NULL AS jaccard_found,
+               concat(CASE WHEN e.id_l IS NOT NULL THEN '1' ELSE '0' END,
+                      CASE WHEN j.id_l IS NOT NULL THEN '1' ELSE '0' END) AS agreement_pattern,
+               (CASE WHEN e.id_l IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN j.id_l IS NOT NULL THEN 1 ELSE 0 END) AS n_detectors
+        FROM ep e FULL OUTER JOIN jp j ON e.id_l = j.id_l AND e.id_r = j.id_r
+    """
+
+    o["q59_similarity_buckets"] = f"""
+        WITH {_SHINGLES_CTE},
+        inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+        ),
+        scored AS (
+          SELECT c.id_l, c.id_r,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM cand c JOIN sh a ON c.id_l = a.doc_id JOIN sh b ON c.id_r = b.doc_id
+        )
+        SELECT id_l, id_r, jaccard,
+               CASE WHEN jaccard >= 0.95 THEN 3
+                    WHEN jaccard >= 0.85 THEN 2
+                    WHEN jaccard >= 0.7 THEN 1
+                    ELSE 0 END AS sim_level
+        FROM scored WHERE jaccard >= 0.3
     """
 
     o["q50_exact_dedup"] = f"""

@@ -51,7 +51,6 @@ def verify_pairs(
     Output: (id_l, id_r, match_key?, jaccard). Gamma-style similarity buckets
     can be derived downstream with a single when-chain.
     """
-    pairs = spread_pairs(pairs)
     # Two physical choices that matter at scale:
     # 1. semi-join reduction: only docs that appear in some candidate pair
     #    need their (wide) shingle arrays moved — usually a small fraction of
@@ -61,7 +60,13 @@ def verify_pairs(
     #    even 40k docs, driver-built and single-threaded; at corpus scale
     #    impossible). Hash-partitioning keeps the wide table distributed and
     #    skips sort-merge's sort of the wide rows.
+    # pair_ids derives from the UN-spread input: every engine path hands in
+    # an eagerly-checkpointed pair table (candidate_pairs cuts it), so the
+    # double scan (semi-join reduction + verify join) re-reads checkpointed
+    # blocks instead of re-executing the band self-join, and this branch
+    # skips the re-spread shuffle entirely.
     pair_ids = pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col)).distinct()
+    pairs = spread_pairs(pairs)
     slim = (
         docs.select(F.col(id_col), F.col(shingle_col))
         .join(pair_ids, id_col, "left_semi")

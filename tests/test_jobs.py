@@ -1,0 +1,53 @@
+"""spark-submit driver (jobs/run_dedup.py): detector gating, output layout,
+and the agreement sink — run in-process against a tiny synthetic corpus.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+import run_dedup  # noqa: E402
+
+
+def test_empty_detector_list_rejected(spark, tmp_path):
+    with pytest.raises(SystemExit, match="at least one detector"):
+        run_dedup.main(["--output", str(tmp_path / "o"), "--detectors", "", "--synth", "50"])
+
+
+def test_unknown_detector_rejected(spark, tmp_path):
+    with pytest.raises(SystemExit, match="unknown detectors"):
+        run_dedup.main(["--output", str(tmp_path / "o"), "--detectors", "minhash,bogus", "--synth", "50"])
+
+
+def test_substring_only_skips_minhash_pipeline(spark, tmp_path):
+    out_dir = str(tmp_path / "ss")
+    summary = run_dedup.main(["--output", out_dir, "--detectors", "substring", "--synth", "300"])
+    assert summary["detectors"] == ["substring"]
+    assert summary["stage_seconds"] == {}  # pipeline never ran
+    pairs = spark.read.parquet(os.path.join(out_dir, "pairs"))
+    # pairs come only from the requested detector
+    assert {r["detector"] for r in pairs.select("detector").distinct().collect()} <= {"substring"}
+    assert not os.path.exists(os.path.join(out_dir, "metrics"))  # no pipeline metrics
+    # clusters + canonical still produced
+    assert spark.read.parquet(os.path.join(out_dir, "clusters")).count() == 300
+    canon = spark.read.parquet(os.path.join(out_dir, "canonical"))
+    assert canon.where("is_canonical").count() == summary["clusters"]
+
+
+def test_multi_detector_agreement_output(spark, tmp_path):
+    out_dir = str(tmp_path / "multi")
+    summary = run_dedup.main(
+        ["--output", out_dir, "--detectors", "minhash,simhash", "--synth", "300"]
+    )
+    ag = spark.read.parquet(os.path.join(out_dir, "agreement"))
+    assert {"minhash_found", "simhash_found", "agreement_pattern", "n_detectors"} <= set(ag.columns)
+    # simhash may legitimately find 0 pairs at this corpus size (planted
+    # near-dups can exceed hamming 3); the union table must still carry every
+    # minhash pair and the agreement schema
+    assert ag.count() >= max(summary["simhash_pairs"], 1)
+    assert ag.where("minhash_found").count() == summary["verified_pairs"]
+    pairs = spark.read.parquet(os.path.join(out_dir, "pairs"))
+    assert {r["detector"] for r in pairs.select("detector").distinct().collect()} >= {"minhash"}
