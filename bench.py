@@ -101,7 +101,12 @@ def main() -> None:
 
     # embedding near-dup is benched on the SCALE path (multi-table hyperplane
     # LSH + exact verify, recall/precision cross-checked by q63's oracle) —
-    # NOT the O(n^2) all-pairs join that the q60 correctness oracle uses
+    # NOT the O(n^2) all-pairs join that the q60 correctness oracle uses.
+    # Threshold 0.9 = the near-duplicate regime this path is built for: at
+    # high cosine the collision model gives selective buckets (12 planes);
+    # at low thresholds (<~0.6) hyperplane LSH degenerates toward all-pairs
+    # and the exact join is the right plan (q60/q63 cover that regime for
+    # correctness at small scale).
     def _q60_lsh(spark, sf_dir):
         from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -113,7 +118,7 @@ def main() -> None:
         em = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        return embedding_neardup_pairs(em, threshold=0.4, exact=False)
+        return embedding_neardup_pairs(em, threshold=0.9, exact=False)
 
     t0 = time.monotonic()
     _materialize(_q60_lsh(spark, sf_dir))

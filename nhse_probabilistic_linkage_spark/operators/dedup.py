@@ -62,17 +62,21 @@ def minhash_lsh_pairs(
     minhash -> bands -> capped self-join -> exact-jaccard verify.
     """
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
-    # the prepared docs feed banding AND both sides of the verify join; without
-    # a cut the shingle pipeline would re-run 3x. Eager localCheckpoint (not
-    # lazy persist): blocks are freed when the handle is GC'd, so repeated
-    # calls in a long-lived session don't accumulate cache entries.
-    docs = docs.select(id_col, "shingles").localCheckpoint(eager=True)
-    docs = with_minhash(docs, num_perms=config.num_perms, seed=config.minhash_seed)
+    # shingles + signatures are checkpointed TOGETHER: banding, the size
+    # histogram and both sides of the verify join all re-scan this table, and
+    # with the cut placed after the MinHash kernel none of those scans re-runs
+    # the Arrow UDF. Eager localCheckpoint (not lazy persist): blocks are
+    # freed when the handle is GC'd, so repeated calls in a long-lived
+    # session don't accumulate cache entries.
+    docs = with_minhash(
+        docs.select(id_col, "shingles"), num_perms=config.num_perms, seed=config.minhash_seed
+    ).localCheckpoint(eager=True)
     bands = band_keys(
         docs, id_col=id_col, bands=config.bands, rows_per_band=config.rows_per_band
     )
     cands, dropped = candidate_pairs(bands, id_col=id_col, band_cap=config.band_cap,
-                                     salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
+                                     salt_threshold=config.salt_threshold, salt_groups=config.salt_groups,
+                                     persist_bands=False)
     verified = verify_pairs(
         cands, docs, id_col=id_col, threshold=config.jaccard_threshold
     )
@@ -90,7 +94,8 @@ def simhash_pairs(
     docs = with_simhash(docs.select(id_col, "shingles")).localCheckpoint(eager=True)
     blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
     cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap,
-                                salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
+                                salt_threshold=config.salt_threshold, salt_groups=config.salt_groups,
+                                persist_bands=False)
     return verify_hamming(cands, docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
 
 
@@ -143,6 +148,7 @@ def substring_dedup_pairs(
     config: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """text -> pairs sharing an exact normalized span >= config.substr_min_span
     (detector #3: winnowing candidates + suffix-array LCS verify). Returns
@@ -155,4 +161,5 @@ def substring_dedup_pairs(
         text_col=text_col,
         band_cap=config.band_cap,
         max_chars=config.substr_max_chars,
+        checkpoint_dir=checkpoint_dir,
     )

@@ -95,6 +95,7 @@ def candidate_pairs(
     band_cap: int | None = 5000,
     salt_threshold: int | None = 500,
     salt_groups: int = 8,
+    persist_bands: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join band table -> unique candidate pairs (id_l < id_r, match_key).
 
@@ -111,35 +112,63 @@ def candidate_pairs(
     key lists are tiny by construction, so they broadcast.
     """
     spark = bands_df.sparkSession
-    # the band table is scanned by the histogram AND each join branch; the
-    # histogram feeds the cap AND salt routing. Persist both once — without
-    # this the signature->band fanout re-executes per scan (measured 25s vs
-    # 6s for the whole stage at 40k docs x 32 bands).
-    bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
+    # The band table is scanned by the histogram AND each join branch; the
+    # histogram feeds the cap AND salt routing. persist_bands=True caches the
+    # exploded band table so an EXPENSIVE lineage (e.g. a signature UDF not
+    # yet checkpointed) executes once (measured 25s vs 6s at 40k docs x 32
+    # bands with the UDF in the lineage). When the caller's band lineage is
+    # already a cheap codegen fanout over a checkpointed signature table —
+    # every engine path after round 2 — pass persist_bands=False: pumping
+    # 32x-exploded rows through the block store costs more memory bandwidth
+    # than recomputing the fanout per scan, and bandwidth is the scarce
+    # resource on wide-row stages (see BENCH.md saturation notes).
+    if persist_bands:
+        bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
+    # the size histogram is small (one row per distinct band key) and feeds
+    # two broadcast key lists + the accounting table — always worth caching
     sizes = (
         bands_df.groupBy("band_key")
         .agg(F.count("*").alias("band_size"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eligibility is decided on the SIZE HISTOGRAM, not the band table:
+    # singleton bands — the overwhelming majority of keys once signatures are
+    # selective (measured 94.7% at 240k docs) — cannot produce a pair, so the
+    # self-join's shuffle shrinks ~10x by semi-joining bands against the
+    # multi-member key list first. The key lists are orders of magnitude
+    # smaller than the band table (histogram tail), so AQE turns these
+    # semi-joins into broadcasts at small scale and falls back to a shuffle
+    # semi-join at corpus scale — both strictly cheaper than shuffling every
+    # singleton band row through the self-join twice.
     if band_cap is not None:
         dropped = sizes.filter(F.col("band_size") > band_cap)
-        kept = bands_df.join(F.broadcast(dropped.select("band_key")), "band_key", "left_anti")
+        upper = F.col("band_size") <= band_cap
     else:
         dropped = spark.createDataFrame([], "band_key bigint, band_size bigint")
-        kept = bands_df
+        upper = F.lit(True)
+    eligible = sizes.filter((F.col("band_size") >= 2) & upper)
+
+    def _semi(keys: DataFrame) -> DataFrame:
+        # AQE cannot turn this into a broadcast on its own: the key list is a
+        # filter over the CACHED histogram (no shuffle boundary => no runtime
+        # stats), and its static estimate inherits the full cache size. The
+        # count is one cheap job over cached data; below the limit the semi
+        # join broadcasts (no shuffle of the band table at all), above it —
+        # the 10^12-doc regime — it stays a shuffle semi-join, which still
+        # beats shuffling every singleton row through the self-join.
+        n_keys = keys.count()
+        build = F.broadcast(keys) if n_keys <= 2_000_000 else keys
+        return bands_df.join(build, "band_key", "left_semi")
 
     if salt_threshold is not None:
-        hot_cond = F.col("band_size") > salt_threshold
-        if band_cap is not None:
-            hot_cond = hot_cond & (F.col("band_size") <= band_cap)
-        hot_keys = sizes.filter(hot_cond).select("band_key")
-        cold = kept.join(F.broadcast(hot_keys), "band_key", "left_anti")
-        hot = kept.join(F.broadcast(hot_keys), "band_key", "left_semi")
-        raw = _self_join_pairs(cold, id_col).unionByName(
-            _salted_self_join_pairs(hot, id_col, salt_groups)
+        hot_keys = eligible.filter(F.col("band_size") > salt_threshold).select("band_key")
+        cold_keys = eligible.filter(F.col("band_size") <= salt_threshold).select("band_key")
+        raw = _self_join_pairs(_semi(cold_keys), id_col).unionByName(
+            _salted_self_join_pairs(bands_df.join(F.broadcast(hot_keys), "band_key", "left_semi"),
+                                    id_col, salt_groups)
         )
     else:
-        raw = _self_join_pairs(kept, id_col)
+        raw = _self_join_pairs(_semi(eligible.select("band_key")), id_col)
 
     # Materialize the (narrow) pair table eagerly, then release the wide band
     # table: every downstream consumer (verify's semi-join + join, counts,
@@ -154,5 +183,6 @@ def candidate_pairs(
     )
     dropped = dropped.localCheckpoint(eager=True)  # tiny by construction
     sizes.unpersist()
-    bands_df.unpersist()
+    if persist_bands:
+        bands_df.unpersist()
     return pairs, dropped

@@ -55,6 +55,7 @@ def substring_pairs(
     band_cap: int | None = 5000,
     normalized: bool = False,
     max_chars: int | None = 50_000,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """text -> pairs sharing an exact normalized-character span >= min_span.
 
@@ -71,6 +72,11 @@ def substring_pairs(
     multi-MB page cannot stall a verify task). Spans are then detected
     within the first max_chars characters of each doc; like the band cap,
     this is a documented bound, not a silent drop.
+
+    checkpoint_dir: when set, the two intermediate cuts (fingerprinted docs,
+    candidate pairs) stage to parquet under it instead of executor-local
+    checkpoints — durable on any Hadoop FS, survives executor loss (same
+    policy as connected_components).
     """
     if min_span <= kgram:
         raise ValueError(f"min_span ({min_span}) must exceed kgram ({kgram})")
@@ -78,22 +84,35 @@ def substring_pairs(
         raise ValueError(f"max_chars ({max_chars}) must be >= min_span ({min_span})")
     window = min_span - kgram + 1
 
+    def _cut(d: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return d.localCheckpoint(eager=True)
+        from nhse_probabilistic_linkage_spark.sources import fs
+
+        path = fs.join(checkpoint_dir, name)
+        d.write.mode("overwrite").parquet(path)
+        return d.sparkSession.read.parquet(path)
+
     norm = F.col(text_col) if normalized else normalize_text(F.col(text_col))
     if max_chars is not None:
         norm = F.substring(norm, 1, max_chars)
     docs = df.select(F.col(id_col), norm.alias("norm_text"))
     # Reused by candidate generation AND both sides of the LCS verify join.
-    # Eager checkpoint, not persist: the band self-join references this
-    # subtree many times and lazy cache registration still re-planned the
-    # winnowing UDF per reference (measured 150s vs 15s at sf0.1).
-    docs = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window).localCheckpoint(
-        eager=True
+    # Eager cut, not persist: the band self-join references this subtree many
+    # times and lazy cache registration still re-planned the winnowing UDF
+    # per reference (measured 150s vs 15s at sf0.1).
+    docs = _cut(
+        with_fingerprints(docs, text_col="norm_text", k=kgram, window=window), "substr_docs"
     )
 
     cands, dropped = candidate_pairs(
-        fingerprint_keys(docs, id_col=id_col), id_col=id_col, band_cap=band_cap
+        fingerprint_keys(docs, id_col=id_col), id_col=id_col, band_cap=band_cap,
+        persist_bands=False,  # fingerprints are checkpointed; explode is cheap
     )
-    cands = cands.localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        # candidate_pairs already cut the pair table executor-locally; re-stage
+        # it durably so the (expensive) LCS verify can restart from parquet
+        cands = _cut(cands, "substr_cands")
 
     slim = docs.select(F.col(id_col), F.col("norm_text"))
     lcs = make_lcs_udf()

@@ -101,10 +101,15 @@ class DedupPipeline:
             fs.mkdirs(self.spark, self.checkpoint_dir)
             fs.write_text(self.spark, p, json.dumps(manifest, indent=2))
 
-    def _materialize(self, df: DataFrame, stage: str, manifest: dict) -> DataFrame:
+    def _materialize(
+        self, df: DataFrame, stage: str, manifest: dict, already_cut: bool = False
+    ) -> DataFrame:
         """Run a stage: reuse its checkpoint if the manifest says it's done,
         else compute, persist (parquet checkpoint or localCheckpoint), record
-        metrics, and mark done."""
+        metrics, and mark done. already_cut skips the localCheckpoint when the
+        input is known to be eagerly materialized upstream (candidate_pairs
+        cuts its own output) — a second copy would only add a serial barrier,
+        which is exactly what the N->4N scaling criterion punishes."""
         path = self._stage_path(stage)
         if path and stage in manifest["done"]:
             out = self.spark.read.parquet(path)
@@ -114,11 +119,15 @@ class DedupPipeline:
         if path:
             df.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
-            rows = out.count()
+        elif already_cut:
+            out = df
         else:
             out = df.localCheckpoint(eager=True)
-            rows = out.count()
-        self._record_lineage(stage, out)
+        # ONE job serves both the stage row count and the per-partition
+        # lineage counters (rows = sum of partition counts) — stage barriers
+        # are serial floor, and the N->4N efficiency criterion pays for every
+        # one of them
+        rows = self._record_lineage(stage, out)
         self.metrics.append(StageMetric(stage, rows, time.monotonic() - t0))
         manifest["done"].append(stage)
         self._save_manifest(manifest)
@@ -174,9 +183,13 @@ class DedupPipeline:
         bands = band_keys(
             signatures, id_col=self.id_col, bands=cfg.bands, rows_per_band=cfg.rows_per_band
         )
+        # persist_bands=False: `bands` is a codegen fanout over the
+        # checkpointed signatures stage — recomputing it per scan is cheaper
+        # than pushing the 32x-exploded table through the block store
         cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap,
-                                         salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups)
-        pairs = self._materialize(cands, "pairs", manifest)
+                                         salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups,
+                                         persist_bands=False)
+        pairs = self._materialize(cands, "pairs", manifest, already_cut=True)
         # cheap emptiness probe first — the full count job only runs when a
         # band actually got dropped (rare by construction)
         n_dropped = 0 if dropped.isEmpty() else dropped.count()
@@ -223,10 +236,11 @@ class DedupPipeline:
             "canonical": canonical,
         }
 
-    def _record_lineage(self, stage: str, out: DataFrame) -> None:
+    def _record_lineage(self, stage: str, out: DataFrame) -> int:
         """One cheap map-side job over the just-materialized stage: row count
         per physical partition. Appended to the lineage table (metrics sink)
-        by write_metrics(); kept in memory otherwise."""
+        by write_metrics(); kept in memory otherwise. Returns the total row
+        count so the caller never needs a second scan."""
         counts = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
@@ -234,6 +248,7 @@ class DedupPipeline:
         )
         for r in counts:
             self.lineage_rows.append((self.run_id, stage, int(r["partition_id"]), int(r["rows"])))
+        return sum(int(r["rows"]) for r in counts)
 
     def lineage_df(self) -> DataFrame:
         return self.spark.createDataFrame(

@@ -90,6 +90,28 @@ def test_streaming_same_batch_replay_is_idempotent(spark, tmp_path):
     assert total == inc.stored_sigs().select("doc_id").distinct().count()
 
 
+def test_substring_durable_checkpoint_matches_local(spark, tmp_path):
+    from nhse_probabilistic_linkage_spark.operators.substring import substring_pairs
+
+    span = "the exact shared boilerplate sentence that keeps reappearing verbatim everywhere"
+    rows = [
+        (1, "intro words " + span + " trailing content one"),
+        (2, span + " other tail follows here"),
+        (3, "completely unrelated page about different things entirely with no overlap"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    local = sorted(tuple(r) for r in substring_pairs(df, min_span=64)[0].collect())
+    durable = sorted(
+        tuple(r)
+        for r in substring_pairs(
+            df, min_span=64, checkpoint_dir="file:" + str(tmp_path / "ss")
+        )[0].collect()
+    )
+    assert local == durable and len(local) == 1
+    assert (tmp_path / "ss" / "substr_docs").exists()
+    assert (tmp_path / "ss" / "substr_cands").exists()
+
+
 def test_cc_reliable_checkpoint_matches_local(spark, tmp_path):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)], "src long, dst long"
