@@ -19,11 +19,14 @@ stream-static interaction that needs multi-step batch logic):
       5. write verified pairs + new signatures + new bands, then commit
 
 The store is three parquet tables under `state_dir`, each partitioned by
-batch_id (bands additionally by bucket = pmod(band_key, n_buckets) so the
-new-vs-old band join prunes to the buckets the current batch touches — at
-10^12-doc scale the difference between scanning the whole band history and
-a few percent of it). All probing goes through spark.read / the Hadoop FS
-API, never os.* — the state dir may live on HDFS/S3/DBFS.
+batch_id; bands additionally by bucket = pmod(band_key, n_buckets) and sigs
+by sig_bucket = pmod(doc_id, n_buckets), so BOTH new-vs-old joins prune
+their scan of the history to the partitions the current batch touches (the
+candidate join by band bucket, the shingle-verify join by the id buckets of
+the old docs that actually appear in a candidate pair) — at 10^12-doc scale
+the difference between scanning the whole store every micro-batch and a few
+percent of it. All probing goes through spark.read / the Hadoop FS API,
+never os.* — the state dir may live on HDFS/S3/DBFS.
 
 Exactly-once semantics under foreachBatch's at-least-once contract:
   - every write carries the batch_id and uses DYNAMIC partition overwrite,
@@ -55,7 +58,9 @@ from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
 from nhse_probabilistic_linkage_spark.sources import fs
 
 PAIRS_SCHEMA = "id_l long, id_r long, match_key int, jaccard double, batch_id long"
-SIGS_SCHEMA = "doc_id long, shingles array<bigint>, minhash array<bigint>, batch_id long"
+SIGS_SCHEMA = (
+    "doc_id long, shingles array<bigint>, minhash array<bigint>, sig_bucket int, batch_id long"
+)
 BANDS_SCHEMA = "doc_id long, band_id int, band_key long, bucket int, batch_id long"
 
 
@@ -170,12 +175,31 @@ class IncrementalDedup:
             )
             .groupBy("id_l", "id_r")
             .agg(F.min("band_id").alias("match_key"))
+            # cut once: the pair table feeds the participant-bucket probe AND
+            # the verify join
+            .localCheckpoint(eager=True)
         )
         # verify against mixed sides: shingles live in the batch for new ids,
-        # in the store for old ids — union covers both.
-        all_sh = docs.select("doc_id", "shingles").unionByName(
-            old_sigs.select("doc_id", "shingles")
+        # in the store for old ids. The store scan is pruned to the id
+        # buckets that actually appear in a candidate pair — without this,
+        # every micro-batch would re-read the ENTIRE signature history just
+        # to verify a handful of cross-batch pairs (the semi-join inside
+        # verify_pairs reduces the shuffle, not the scan).
+        touched_sig = [
+            r["b"]
+            for r in no_cands.select(
+                F.explode(F.array("id_l", "id_r")).alias("pid")
+            )
+            .select(F.pmod("pid", F.lit(self.n_buckets)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        ]
+        old_sh = (
+            self.stored_sigs()
+            .where(F.col("sig_bucket").isin(touched_sig) & not_this_batch)
+            .select("doc_id", "shingles")
         )
+        all_sh = docs.select("doc_id", "shingles").unionByName(old_sh)
         no = verify_pairs(no_cands, all_sh, threshold=cfg.jaccard_threshold)
 
         out = nn.unionByName(no).select(
@@ -183,7 +207,15 @@ class IncrementalDedup:
         )
         self._write_batch(out, self.pairs_path, batch_id, ["batch_id"])
         self._write_batch(
-            docs.select("doc_id", "shingles", "minhash"), self.sigs_path, batch_id, ["batch_id"]
+            docs.select(
+                "doc_id",
+                "shingles",
+                "minhash",
+                F.pmod("doc_id", F.lit(self.n_buckets)).cast("int").alias("sig_bucket"),
+            ),
+            self.sigs_path,
+            batch_id,
+            ["batch_id", "sig_bucket"],
         )
         self._write_batch(
             nb.select("doc_id", "band_id", "band_key", "bucket"),

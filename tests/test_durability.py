@@ -75,8 +75,9 @@ def test_streaming_same_batch_replay_is_idempotent(spark, tmp_path):
     batch1 = pages.limit(50)
     inc._write_batch(
         batch1.select("doc_id", F.array().cast("array<bigint>").alias("shingles"),
-                      F.array().cast("array<bigint>").alias("minhash")),
-        inc.sigs_path, 1, ["batch_id"],
+                      F.array().cast("array<bigint>").alias("minhash"),
+                      F.pmod("doc_id", F.lit(inc.n_buckets)).cast("int").alias("sig_bucket")),
+        inc.sigs_path, 1, ["batch_id", "sig_bucket"],
     )
     assert not fs.exists(spark, fs.join(state, "commits", "batch-1"))
     inc.process_batch(batch1, 1)  # replay must not treat partial sigs as seen
