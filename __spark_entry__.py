@@ -550,6 +550,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q36_micro_filters"] = q36_micro_filters
 
+    def q37_threshold_confusion(spark, sf_dir):
+        # the single-pass precision/recall sweep that replaces the
+        # reference's 4 count() jobs per threshold ("~40 minutes",
+        # utils/eval_utils.py:485-520, evaluation_dedupe.py:135): truth =
+        # pairs at jaccard >= 0.6, swept at 0.5/0.7/0.9 in ONE aggregation
+        from nhse_probabilistic_linkage_spark.plans.evaluate import threshold_confusion
+
+        scored = _spark_jaccard_pairs(spark, sf_dir, 0.3)
+        expected = scored.where(F.col("jaccard") >= 0.6).select("id_l", "id_r")
+        return threshold_confusion(scored, expected, [0.5, 0.7, 0.9])
+
+    q["q37_threshold_confusion"] = q37_threshold_confusion
+
     def q44_nested_history(spark, sf_dir):
         # array<struct> history columns: null-strip -> explode_outer ->
         # field access -> dedup -> window null-prune, then the multi-way
@@ -1122,6 +1135,38 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN e.id_l IS NOT NULL THEN 1 ELSE 0 END
                 + CASE WHEN j.id_l IS NOT NULL THEN 1 ELSE 0 END) AS n_detectors
         FROM ep e FULL OUTER JOIN jp j ON e.id_l = j.id_l AND e.id_r = j.id_r
+    """
+
+    o["q37_threshold_confusion"] = f"""
+        WITH {_SHINGLES_CTE},
+        inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+        ),
+        scored AS (
+          SELECT c.id_l, c.id_r,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM cand c JOIN sh a ON c.id_l = a.doc_id JOIN sh b ON c.id_r = b.doc_id
+        ),
+        j AS (
+          SELECT jaccard AS score,
+                 CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END AS is_true
+          FROM scored WHERE jaccard >= 0.3
+        ),
+        th AS (SELECT unnest([0.5, 0.7, 0.9]) AS threshold)
+        SELECT th.threshold,
+               CAST(sum(CASE WHEN score >= threshold AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score >= threshold AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score < threshold AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CASE WHEN sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) = 0 THEN NULL
+                    ELSE sum(CASE WHEN score >= threshold AND is_true = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) END AS "precision",
+               CASE WHEN sum(is_true) = 0 THEN NULL
+                    ELSE sum(CASE WHEN score >= threshold AND is_true = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / sum(is_true) END AS recall
+        FROM th CROSS JOIN j GROUP BY th.threshold
     """
 
     o["q59_similarity_buckets"] = f"""

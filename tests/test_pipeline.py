@@ -145,6 +145,23 @@ def test_pipeline_checkpoint_resume(spark, corpus, tmp_path):
     assert clusters3 == clusters1
 
 
+def test_pairs_identical_across_parallelism(spark, corpus):
+    """North-rule determinism: the verified pair set (and scores) must be
+    identical whatever the input partitioning — the same property the
+    two-parallelism scaling bench relies on (local[N] and local[4N] must
+    produce the same answer)."""
+    from nhse_probabilistic_linkage_spark.operators.dedup import minhash_lsh_pairs
+
+    pages, _ = corpus
+    pages = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    cfg = DedupConfig()
+    a, _ = minhash_lsh_pairs(pages.repartition(1), cfg)
+    b, _ = minhash_lsh_pairs(pages.repartition(13), cfg)
+    rows_a = sorted((r.id_l, r.id_r, round(r.jaccard, 9)) for r in a.collect())
+    rows_b = sorted((r.id_l, r.id_r, round(r.jaccard, 9)) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
 def test_extracted_text_matches_planted_text(spark, corpus):
     """Per-row invariant: extraction from html is byte-identical to the
     corpus-planted text for every url."""
