@@ -817,6 +817,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q72_fingerprint_cardinality"] = q72_fingerprint_cardinality
 
+    def q73_url_canonical(spark, sf_dir):
+        # URL canonicalization (functions/urls.py) — the web-corpus analog of
+        # the reference's field cleaning (preprocessing_utils.py:84-125).
+        # Deterministic URL variants (scheme/www/fragment/tracking/trailing-
+        # slash noise) are synthesized per doc; the oracle constructs the
+        # expected canonical form analytically, so the check is independent
+        # of any SQL regex dialect.
+        from nhse_probabilistic_linkage_spark.functions.urls import normalize_url, url_host
+
+        docs = _t(spark, sf_dir, "documents")
+        k = F.col("doc_id")
+        host = F.concat(F.lit("site"), F.pmod(k, F.lit(7)).cast("string"), F.lit(".example.com"))
+        path = F.concat(F.lit("/page/"), F.pmod(k, F.lit(100)).cast("string"))
+        v = F.pmod(k, F.lit(5))
+        url = (
+            F.when(v == 0, F.concat(F.lit("http://"), host, path))
+            .when(v == 1, F.concat(F.lit("https://www."), host, path, F.lit("/")))
+            .when(v == 2, F.concat(F.lit("HTTP://"), F.upper(host), path, F.lit("#frag")))
+            .when(v == 3, F.concat(host, path, F.lit("?utm_source=abc")))
+            .otherwise(F.concat(F.lit("http://"), host, path, F.lit("?a=1&utm_campaign=x&b=2")))
+        )
+        return docs.select(
+            "doc_id",
+            normalize_url(url).alias("canon_url"),
+            url_host(url).alias("host"),
+        )
+
+    q["q73_url_canonical"] = q73_url_canonical
+
+    def q74_repetition_filters(spark, sf_dir):
+        # Gopher/MassiveText-style repetition signals, all-native expressions
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            F.round(TS.duplicate_line_ratio(F.col("text")), 6).alias("dup_line_ratio"),
+            F.round(TS.top_token_ratio(F.col("text")), 6).alias("top_token_ratio"),
+            TS.repetition_flags(F.col("text")).alias("passes_repetition"),
+        )
+
+    q["q74_repetition_filters"] = q74_repetition_filters
+
     return q
 
 
@@ -1364,6 +1405,40 @@ def oracle_sql() -> dict[str, str]:
     o["q72_fingerprint_cardinality"] = f"""
         SELECT lang, count(DISTINCT {_norm}) AS n_distinct_docs, count(*) AS n_docs
         FROM documents GROUP BY lang
+    """
+
+    # expected canonical built ANALYTICALLY (no regex dialect dependence):
+    # variants 0-3 all collapse to the bare http://host/path; variant 4 keeps
+    # its non-tracking query params
+    o["q73_url_canonical"] = """
+        SELECT doc_id,
+               'http://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 100)
+                 || CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END AS canon_url,
+               'site' || (doc_id % 7) || '.example.com' AS host
+        FROM documents
+    """
+
+    o["q74_repetition_filters"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_toks} AS toks,
+                 list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                             l -> l <> '') AS lines
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN len(lines) > 0
+                      THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+                      ELSE 0.0 END AS dlr,
+                 CASE WHEN len(toks) > 0
+                      THEN list_max(list_transform(list_distinct(toks),
+                                    d -> len(list_filter(toks, t2 -> t2 = d))))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS ttr
+          FROM t
+        )
+        SELECT doc_id, round(dlr, 6) AS dup_line_ratio, round(ttr, 6) AS top_token_ratio,
+               (dlr <= 0.3 AND ttr <= 0.2) AS passes_repetition
+        FROM m
     """
 
     return o

@@ -91,6 +91,45 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     return F.round(len_term + mtl_term + alpha_term + stop_term, 6)
 
 
+def duplicate_line_ratio(text: Column | str) -> Column:
+    """Fraction of non-empty lines that are repeats of an earlier line —
+    the Gopher/MassiveText repetition filter's line-level signal. Boilerplate
+    pages (nav bars, cookie banners pasted per section) score high and get
+    filtered before ever reaching the dedup detectors."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != F.lit(""))
+    n = F.size(lines)
+    return F.when(n > 0, (n - F.size(F.array_distinct(lines))).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_token_ratio(text: Column | str) -> Column:
+    """Frequency of the most common token over all tokens (Gopher's
+    "fraction of most common word" rule). Computed natively: count each
+    DISTINCT token's occurrences with a filter lambda — O(n·distinct) per
+    row, fine for page-sized documents (cap text upstream for pathological
+    inputs, same policy as the substring detector)."""
+    toks = tokenize(text)
+    dist = F.array_distinct(toks)
+    counts = F.transform(dist, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    return F.when(
+        F.size(toks) > 0, F.array_max(counts).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_flags(
+    text: Column | str,
+    max_dup_line_ratio: float = 0.3,
+    max_top_token_ratio: float = 0.2,
+) -> Column:
+    """True when the document passes the repetition filters (Gopher-style
+    thresholds; both signals are native expressions)."""
+    return (duplicate_line_ratio(text) <= max_dup_line_ratio) & (
+        top_token_ratio(text) <= max_top_token_ratio
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """64-bit content fingerprint of the normalized text (exact-dup key)."""
     return F.xxhash64(normalize_text(text))

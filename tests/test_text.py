@@ -64,3 +64,65 @@ def test_shingle_hashes_deterministic_across_partitionings(spark):
     assert sorted(map(tuple, ((r.doc_id, tuple(r.shingles)) for r in a.collect()))) == sorted(
         map(tuple, ((r.doc_id, tuple(r.shingles)) for r in b.collect()))
     )
+
+
+# ------------------------------------------------------------ urls
+def test_normalize_url_variants(spark):
+    from nhse_probabilistic_linkage_spark.functions.urls import normalize_url, url_host, url_key
+
+    rows = [
+        ("http://site.example.com/page/1",),                                  # already canonical
+        ("https://www.site.example.com/page/1/",),                            # scheme/www/slash
+        ("HTTP://SITE.EXAMPLE.COM/page/1#section-2",),                        # case + fragment
+        ("site.example.com/page/1?utm_source=x",),                            # schemeless + tracking
+        ("http://site.example.com/page/1?a=1&utm_campaign=c&b=2",),           # mid-query tracking
+        ("http://site.example.com/page/1?utm_a=1&b=2",),                      # leading tracking
+        ("http://site.example.com/page/1?utm_a=1&utm_b=2",),                  # only tracking
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert got == [
+        "http://site.example.com/page/1",
+        "http://site.example.com/page/1",
+        "http://site.example.com/page/1",
+        "http://site.example.com/page/1",
+        "http://site.example.com/page/1?a=1&b=2",
+        "http://site.example.com/page/1?b=2",
+        "http://site.example.com/page/1",
+    ]
+    hosts = {r[0] for r in df.select(url_host("url")).collect()}
+    assert hosts == {"site.example.com"}
+    # all variants WITHOUT distinct query params share one dedup key
+    keys = [r[0] for r in df.select(url_key("url")).collect()]
+    assert len({keys[0], keys[1], keys[2], keys[3], keys[6]}) == 1
+
+
+def test_repetition_signals(spark):
+    from nhse_probabilistic_linkage_spark.functions.textstats import (
+        duplicate_line_ratio,
+        repetition_flags,
+        top_token_ratio,
+    )
+
+    rows = [
+        (1, "accept cookies\nmenu home about\naccept cookies\naccept cookies\n\n"),
+        (2, "a genuinely varied document with many different words in it today"),
+        (3, "spam spam spam spam spam only one other word"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (round(r["dlr"], 4), round(r["ttr"], 4), r["ok"])
+        for r in df.select(
+            "doc_id",
+            duplicate_line_ratio("text").alias("dlr"),
+            top_token_ratio("text").alias("ttr"),
+            repetition_flags("text").alias("ok"),
+        ).collect()
+    }
+    assert got[1][0] == round(2 / 4, 4)      # 4 non-empty lines, 2 repeats
+    assert got[1][2] is False                # fails dup-line filter
+    assert got[2] == (0.0, round(1 / 11, 4), True)
+    assert got[3][1] == round(5 / 9, 4)      # 'spam' 5 of 9 tokens
+    assert got[3][2] is False                # fails top-token filter
+    assert got[4] == (0.0, 0.0, True)
