@@ -50,6 +50,13 @@ def parse_args(argv=None):
     p.add_argument("--detectors", default="minhash")
     p.add_argument("--synth", type=int, default=None, help="synthetic corpus size")
     p.add_argument("--synth-seed", type=int, default=42)
+    p.add_argument(
+        "--prefilter",
+        action="store_true",
+        help="URL-dedup + repetition gates before the detectors (drops accounted)",
+    )
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="with --prefilter: drop docs under this quality score")
     return p.parse_args(argv)
 
 
@@ -76,6 +83,14 @@ def main(argv=None) -> dict:
         pages = spark.read.parquet(args.input)
 
     t0 = time.monotonic()
+    prefilter_metrics = None
+    if args.prefilter:
+        from nhse_probabilistic_linkage_spark.plans.prefilter import prefilter_pages
+
+        pages, prefilter_metrics = prefilter_pages(
+            pages, url_col="url" if "url" in pages.columns else None,
+            min_quality=args.min_quality,
+        )
     pages = pages.withColumn("doc_id", F.xxhash64("url")).localCheckpoint(eager=True)
 
     # minhash runs inside the (checkpointed, resumable) pipeline; the other
@@ -153,6 +168,10 @@ def main(argv=None) -> dict:
     canonical.write.mode("overwrite").parquet(os.path.join(args.output, "canonical"))
     if pipe:
         pipe.metrics_df().write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
+    if prefilter_metrics is not None:
+        prefilter_metrics.write.mode("overwrite").parquet(
+            os.path.join(args.output, "prefilter_drops")
+        )
 
     elapsed = time.monotonic() - t0
     n_docs = pages.count()
@@ -166,6 +185,10 @@ def main(argv=None) -> dict:
         **extra_counts,
         "stage_seconds": {m.stage: round(m.seconds, 2) for m in pipe.metrics} if pipe else {},
     }
+    if prefilter_metrics is not None:
+        summary["prefilter_drops"] = {
+            r["reason"]: r["n_dropped"] for r in prefilter_metrics.collect()
+        }
     print("SUMMARY " + json.dumps(summary))
     return summary
 
