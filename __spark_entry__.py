@@ -563,6 +563,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q37_threshold_confusion"] = q37_threshold_confusion
 
+    def q38_approx_distinct(spark, sf_dir):
+        # approx_count_distinct (HLL) for metrics at scale (SURVEY §2.4) —
+        # the estimate is sketch-specific, so the oracle checks the
+        # CONTRACT instead of the value: the estimate lands within the
+        # documented rsd band of the exact count (computed in the same pass)
+        e = _t(spark, sf_dir, "events")
+        agg = e.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        return agg.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.1, F.lit(5.0))
+            ).alias("within_band"),
+        )
+
+    q["q38_approx_distinct"] = q38_approx_distinct
+
     def q44_nested_history(spark, sf_dir):
         # array<struct> history columns: null-strip -> explode_outer ->
         # field access -> dedup -> window null-prune, then the multi-way
@@ -1128,6 +1149,13 @@ def oracle_sql() -> dict[str, str]:
                count(tok) AS n_long_tokens,
                CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows
         FROM exploded GROUP BY doc_id
+    """
+
+    o["q38_approx_distinct"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               true AS within_band
+        FROM events GROUP BY event_type
     """
 
     o["q44_nested_history"] = f"""

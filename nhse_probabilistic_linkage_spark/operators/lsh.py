@@ -89,6 +89,23 @@ def _salted_self_join_pairs(bands: DataFrame, id_col: str, salt_groups: int) -> 
     return left.join(right, ["band_key", "gid"]).where(F.col("id_l") < F.col("id_r")).drop("gid")
 
 
+def semi_join_bands(
+    bands_df: DataFrame, keys: DataFrame, broadcast_key_limit: int = 2_000_000
+) -> DataFrame:
+    """bands left-semi keys(band_key), with an EXPLICIT broadcast decision.
+
+    AQE cannot turn this into a broadcast on its own: the key list is a
+    filter over the CACHED size histogram (no shuffle boundary => no runtime
+    stats), and its static estimate inherits the full cache size. The count
+    is one cheap job over cached data; below the limit the semi join
+    broadcasts (no shuffle of the band table at all), above it — the
+    10^12-doc regime — it stays a shuffle semi-join, which still beats
+    shuffling every singleton row through the self-join."""
+    n_keys = keys.count()
+    build = F.broadcast(keys) if n_keys <= broadcast_key_limit else keys
+    return bands_df.join(build, "band_key", "left_semi")
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     id_col: str = "doc_id",
@@ -148,27 +165,15 @@ def candidate_pairs(
         upper = F.lit(True)
     eligible = sizes.filter((F.col("band_size") >= 2) & upper)
 
-    def _semi(keys: DataFrame) -> DataFrame:
-        # AQE cannot turn this into a broadcast on its own: the key list is a
-        # filter over the CACHED histogram (no shuffle boundary => no runtime
-        # stats), and its static estimate inherits the full cache size. The
-        # count is one cheap job over cached data; below the limit the semi
-        # join broadcasts (no shuffle of the band table at all), above it —
-        # the 10^12-doc regime — it stays a shuffle semi-join, which still
-        # beats shuffling every singleton row through the self-join.
-        n_keys = keys.count()
-        build = F.broadcast(keys) if n_keys <= 2_000_000 else keys
-        return bands_df.join(build, "band_key", "left_semi")
-
     if salt_threshold is not None:
         hot_keys = eligible.filter(F.col("band_size") > salt_threshold).select("band_key")
         cold_keys = eligible.filter(F.col("band_size") <= salt_threshold).select("band_key")
-        raw = _self_join_pairs(_semi(cold_keys), id_col).unionByName(
+        raw = _self_join_pairs(semi_join_bands(bands_df, cold_keys), id_col).unionByName(
             _salted_self_join_pairs(bands_df.join(F.broadcast(hot_keys), "band_key", "left_semi"),
                                     id_col, salt_groups)
         )
     else:
-        raw = _self_join_pairs(_semi(eligible.select("band_key")), id_col)
+        raw = _self_join_pairs(semi_join_bands(bands_df, eligible.select("band_key")), id_col)
 
     # Materialize the (narrow) pair table eagerly, then release the wide band
     # table: every downstream consumer (verify's semi-join + join, counts,
