@@ -430,13 +430,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q40_string_functions"] = q40_string_functions
 
     def q41_explode_embedding_stats(spark, sf_dir):
+        # the mean sums DECIMALS of pre-rounded values: float summation order
+        # differs between engines (and between Spark partitionings), which
+        # flips the 4th decimal at sf>=0.1 row counts; decimal sums are exact
+        # and therefore order-independent
         em = _t(spark, sf_dir, "embeddings")
+        exact_val = F.round(F.col("val").cast("double"), 6).cast("decimal(18,10)")
         return (
             em.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("pos")
             .agg(
-                F.round(F.avg(F.col("val").cast("double")), 4).alias("avg_val"),
-                F.round(F.max(F.col("val").cast("double")), 4).alias("max_val"),
+                # + 0.0 collapses IEEE negative zero (round(-1e-6, 4) is -0.0,
+                # which string-canonicalizes differently from 0.0)
+                (F.round(F.sum(exact_val).cast("double") / F.count("*"), 4) + F.lit(0.0)).alias("avg_val"),
+                (F.round(F.max(F.col("val").cast("double")), 4) + F.lit(0.0)).alias("max_val"),
                 F.count("*").alias("n"),
             )
         )
@@ -1064,8 +1071,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q41_explode_embedding_stats"] = """
-        SELECT pos, round(avg(CAST(val AS DOUBLE)), 4) AS avg_val,
-               round(max(CAST(val AS DOUBLE)), 4) AS max_val, count(*) AS n
+        SELECT pos,
+               round(CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,10))) AS DOUBLE)
+                     / count(*), 4) + 0.0 AS avg_val,
+               round(max(CAST(val AS DOUBLE)), 4) + 0.0 AS max_val, count(*) AS n
         FROM (
             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
             FROM embeddings

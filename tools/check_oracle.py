@@ -23,7 +23,7 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)  # + 0.0 collapses IEEE negative zero
     if isinstance(v, bool):
         return str(bool(v))
     return str(v)
