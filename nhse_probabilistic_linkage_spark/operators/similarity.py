@@ -174,6 +174,18 @@ def make_bucket_udf(centroids: np.ndarray, n_probe: int = 1):
     return buckets
 
 
+def suggest_n_centroids(corpus_size: int) -> int:
+    """IVF centroid count sized to the corpus: ~sqrt(n) balances bucket scan
+    cost (n/n_centroids vectors per probe) against centroid-assignment cost
+    (n_centroids dot products per vector) — the standard IVF heuristic.
+    Floor 64 keeps tiny corpora from degenerating to near-brute-force; the
+    driver only ever holds the (n_centroids x dim) matrix, which at 10^9
+    vectors and 1024 dims is ~260 MB — still driver-safe."""
+    import math
+
+    return max(64, int(math.sqrt(max(corpus_size, 1))))
+
+
 def train_centroids(
     df: DataFrame,
     n_centroids: int = 64,

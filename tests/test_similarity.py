@@ -72,3 +72,12 @@ def test_tableio_roundtrip(spark, vectors, tmp_path):
     assert back.count() == vectors.count()
     io.write(vectors.select("vec_id").limit(5), "vecs", mode="overwrite")
     assert io.read("vecs").count() == 5
+
+
+def test_suggest_n_centroids_scaling():
+    from nhse_probabilistic_linkage_spark.operators.similarity import suggest_n_centroids
+
+    assert suggest_n_centroids(0) == 64
+    assert suggest_n_centroids(10_000) == 100
+    assert suggest_n_centroids(1_000_000) == 1000
+    assert suggest_n_centroids(10**12) == 1_000_000

@@ -42,9 +42,23 @@ def test_incremental_matches_batch(spark, corpus, tmp_path_factory):
     batch_pairs, _ = minhash_lsh_pairs(corpus, CFG)
     assert _pairset(inc.verified_pairs()) == _pairset(batch_pairs)
 
-    # clusters over the streamed pairs match the batch clusters
-    clusters = {(r["doc_id"], r["cluster_id"]) for r in inc.recluster().collect()}
-    assert len(clusters) == corpus.count()
+    # cluster ASSIGNMENTS over the streamed pairs equal the batch pipeline's
+    # (same CC over the same edge set -> identical membership)
+    from nhse_probabilistic_linkage_spark.operators.connected_components import (
+        assign_components,
+    )
+    from pyspark.sql import functions as F2
+
+    streamed = {(r["doc_id"], r["cluster_id"]) for r in inc.recluster().collect()}
+    batch = {
+        (r["doc_id"], r["cluster_id"])
+        for r in assign_components(
+            corpus.select("doc_id"),
+            batch_pairs.select(F2.col("id_l").alias("src"), F2.col("id_r").alias("dst")),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == corpus.count()
 
 
 def test_redelivery_is_idempotent(spark, corpus, tmp_path_factory):
