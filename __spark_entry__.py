@@ -886,6 +886,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q74_repetition_filters"] = q74_repetition_filters
 
+    def q39_domain_quota(spark, sf_dir):
+        # per-stratum quota cap — "at most N docs per domain/source", the
+        # training-data selection idiom (row_number over the stratum, kept
+        # deterministic; explicit doc_id tiebreak so the oracle replays it)
+        from nhse_probabilistic_linkage_spark.functions.sampling import stratified_cap
+
+        docs = _t(spark, sf_dir, "documents")
+        return stratified_cap(
+            docs, "source", quota=12, order_col="n_chars", tiebreak=F.col("doc_id")
+        ).select("doc_id", "source", "n_chars")
+
+    q["q39_domain_quota"] = q39_domain_quota
+
+    def q75_decontaminate(spark, sf_dir):
+        # benchmark decontamination: docs sharing 5-gram shingles with a
+        # held-out "eval set" (every 97th doc), flagged with overlap counts.
+        # The benchmark gram set broadcasts; the corpus is never shuffled.
+        from nhse_probabilistic_linkage_spark.operators.decontaminate import (
+            contamination_hits,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.where(F.pmod("doc_id", F.lit(97)) == 0)
+        corpus = docs.where(F.pmod("doc_id", F.lit(97)) != 0)
+        return contamination_hits(corpus, bench).select(
+            "doc_id",
+            "n_hits",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.round("hit_ratio", 6).alias("hit_ratio"),
+        )
+
+    q["q75_decontaminate"] = q75_decontaminate
+
+    def q76_pii_redact(spark, sf_dir):
+        # PII scrub over text with deterministic synthesized PII (emails,
+        # IPv4s, variable-length digit runs) — patterns are in the common
+        # Java-regex/RE2 subset so the oracle replays them bit-for-bit
+        from nhse_probabilistic_linkage_spark.functions.redact import redact_pii
+
+        docs = _t(spark, sf_dir, "documents")
+        k = F.col("doc_id")
+        pii_text = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), k.cast("string"), F.lit("@mail.example.com"),
+            F.lit(" from 10.0."), F.pmod(k, F.lit(256)).cast("string"), F.lit(".1"),
+            F.lit(" ref "), F.repeat(F.lit("7"), (F.pmod(k, F.lit(8)) + F.lit(5)).cast("int")),
+        )
+        return redact_pii(docs.select("doc_id", pii_text.alias("text"))).select(
+            "doc_id",
+            F.col("pii_email").cast("long").alias("pii_email"),
+            F.col("pii_ipv4").cast("long").alias("pii_ipv4"),
+            F.col("pii_digitrun").cast("long").alias("pii_digitrun"),
+            "text_redacted",
+        )
+
+    q["q76_pii_redact"] = q76_pii_redact
+
+    def q77_token_chunking(spark, sf_dir):
+        # training-data export chunking: fixed token windows with overlap,
+        # provenance columns (chunk index + token span) — one generator
+        # explode inside the corpus scan, no shuffle
+        from nhse_probabilistic_linkage_spark.functions.chunking import chunk_docs
+
+        docs = _t(spark, sf_dir, "documents")
+        return chunk_docs(docs, chunk_tokens=32, overlap=4).select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "chunk_text",
+        )
+
+    q["q77_token_chunking"] = q77_token_chunking
+
     return q
 
 
@@ -1476,6 +1550,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(dlr, 6) AS dup_line_ratio, round(ttr, 6) AS top_token_ratio,
                (dlr <= 0.3 AND ttr <= 0.2) AS passes_repetition
         FROM m
+    """
+
+    o["q39_domain_quota"] = """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC NULLS LAST, doc_id) AS rk
+          FROM documents
+        ) WHERE rk <= 12
+    """
+
+    o["q75_decontaminate"] = f"""
+        WITH {_SHINGLES_CTE},
+        bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
+                 FROM sh WHERE doc_id % 97 <> 0)
+        SELECT c.doc_id, count(*) AS n_hits,
+               any_value(c.n_shingles) AS n_shingles,
+               round(count(*)::DOUBLE / greatest(any_value(c.n_shingles), 1), 6) AS hit_ratio
+        FROM corp c JOIN bench b ON c.g = b.g
+        GROUP BY c.doc_id
+    """
+
+    from nhse_probabilistic_linkage_spark.functions.redact import (
+        DIGITRUN_PATTERN,
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+    )
+
+    o["q76_pii_redact"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@mail.example.com'
+                      || ' from 10.0.' || (doc_id % 256) || '.1'
+                      || ' ref ' || repeat('7', (doc_id % 8 + 5)::INT) AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS pii_email,
+               len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS pii_ipv4,
+               len(regexp_extract_all(text, '{DIGITRUN_PATTERN}')) AS pii_digitrun,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{EMAIL_PATTERN}', '<PII>', 'g'),
+                   '{IPV4_PATTERN}', '<PII>', 'g'),
+                   '{DIGITRUN_PATTERN}', '<PII>', 'g') AS text_redacted
+        FROM t
+    """
+
+    # chunk_tokens=32, overlap=4 -> stride 28. Spark's sequence(0, n-1, 28)
+    # (inclusive end) == DuckDB's range(0, n, 28) (exclusive end); both
+    # list-slice clamps at the ragged tail.
+    o["q77_token_chunking"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, len(toks), 28)) AS tok_start,
+                 generate_subscripts(range(0, len(toks), 28), 1) - 1 AS chunk_id
+          FROM d WHERE len(toks) > 0
+        )
+        SELECT doc_id, chunk_id, tok_start,
+               len(list_slice(toks, tok_start + 1, tok_start + 32)) AS n_tokens,
+               array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ')
+                 AS chunk_text
+        FROM st
     """
 
     return o

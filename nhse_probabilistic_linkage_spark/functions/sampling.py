@@ -81,6 +81,54 @@ def seeded_fraction_sample(df: DataFrame, fraction: float, seed: int = 42) -> Da
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 
 
+def stratified_cap(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    order_col: str | None = None,
+    key_col: str | None = None,
+    descending: bool = True,
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """Keep at most `quota` rows per stratum, deterministically.
+
+    The training-data idiom "cap documents per domain/source" — rank rows
+    within each stratum (by `order_col`, e.g. a quality score, best first)
+    and keep the top `quota`. Ties and the unordered case are broken by
+    xxhash64 of `key_col` so the selection is a pure function of the data —
+    stable under repartitioning, resume, and cluster layout (same policy as
+    hash_bucket_sample; the reference's rand(seed) selections are not).
+    Pass an explicit `tiebreak` column to override the hash tiebreak (e.g.
+    a plain unique id, when an external engine must replay the selection).
+
+    One shuffle on the stratum key; row_number needs no global sort. Skewed
+    strata (one domain = half the corpus) rank in a single task — for those,
+    pre-filter with hash_bucket_sample to ~quota-scale before ranking, which
+    preserves determinism (composition of two pure functions of the key).
+
+    Reference analog: per-group top-k via row_number over a window —
+    the get_best_match ranking idiom (/root/reference/utils/eval_utils.py
+    best-candidate selection) applied to selection instead of linkage.
+    """
+    if quota < 1:
+        raise ValueError(f"quota ({quota}) must be >= 1")
+    from pyspark.sql import Window
+
+    if tiebreak is None:
+        tiebreak = F.xxhash64(F.col(key_col)) if key_col else F.xxhash64(*[F.col(c) for c in df.columns])
+    ordering = []
+    if order_col is not None:
+        c = F.col(order_col)
+        ordering.append(c.desc_nulls_last() if descending else c.asc_nulls_last())
+    ordering.append(tiebreak.asc())
+    w = Window.partitionBy(strata_col).orderBy(*ordering)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
 def sample_pairs(
     df: DataFrame,
     key: str,

@@ -75,8 +75,7 @@ def minhash_lsh_pairs(
         docs, id_col=id_col, bands=config.bands, rows_per_band=config.rows_per_band
     )
     cands, dropped = candidate_pairs(bands, id_col=id_col, band_cap=config.band_cap,
-                                     salt_threshold=config.salt_threshold, salt_groups=config.salt_groups,
-                                     persist_bands=False)
+                                     salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
     verified = verify_pairs(
         cands, docs, id_col=id_col, threshold=config.jaccard_threshold
     )
@@ -94,8 +93,7 @@ def simhash_pairs(
     docs = with_simhash(docs.select(id_col, "shingles")).localCheckpoint(eager=True)
     blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
     cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap,
-                                salt_threshold=config.salt_threshold, salt_groups=config.salt_groups,
-                                persist_bands=False)
+                                salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
     return verify_hamming(cands, docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
 
 

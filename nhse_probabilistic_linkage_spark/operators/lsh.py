@@ -8,15 +8,15 @@ candidates iff some band of their MinHash signatures hashes identically, and
 `match_key` records the first band that fired.
 
 Scale notes (the parts Catalyst cannot do for us):
-- The band self-join shuffles on band_key; AQE skew-join splitting handles
-  moderate skew, but pathological bands (boilerplate pages that hash
-  identically in some band) generate O(size^2) pairs. Those are removed by an
-  explicit band-size cap BEFORE the join, with the dropped mass counted and
-  returned — documented recall accounting, never silent (reference analog:
-  per-rule comparison counts, notebooks_dedupe/blocking_evaluation_dedupe.py:
-  154-175).
-- The cap list is tiny (it is the >cap tail of the band-size histogram), so
-  it broadcast-anti-joins against the exploded band table.
+- The band table is shuffled ONCE: groupBy(band_key) collects member lists,
+  then size routing (singleton prune / cap / salt) and pair generation all
+  read the grouped result — see candidate_pairs for the measured comparison
+  against the histogram + self-join formulation it replaced.
+- Pathological bands (boilerplate pages that hash identically in some band)
+  would generate O(size^2) pairs. Those are removed by an explicit band-size
+  cap, with the dropped mass counted and returned — documented recall
+  accounting, never silent (reference analog: per-rule comparison counts,
+  notebooks_dedupe/blocking_evaluation_dedupe.py:154-175).
 - Pair dedup across bands is a groupBy (map-side combinable) rather than
   dropDuplicates on the raw join output.
 """
@@ -106,79 +106,110 @@ def semi_join_bands(
     return bands_df.join(build, "band_key", "left_semi")
 
 
+def _combination_pairs(grouped: DataFrame) -> DataFrame:
+    """All unordered member pairs of each band group, natively.
+
+    Input: (band_id, ids). Two-level generator explode — posexplode picks
+    id_l, then explode of the positional tail picks every later id_r — so
+    pairs STREAM through whole-stage codegen; the full m^2/2 pair array of a
+    band is never materialized in one buffer (only the m-element id list
+    rides along each intermediate row). Sorting the list first makes
+    id_l < id_r positional; the != guard covers duplicate (band, id) input
+    rows, which the old join formulation dropped via its strict <."""
+    sorted_ids = F.array_sort("ids")
+    return (
+        grouped.select("band_id", sorted_ids.alias("_ids"))
+        .select("band_id", "_ids", F.posexplode("_ids").alias("_pos", "id_l"))
+        .select(
+            "band_id",
+            "id_l",
+            F.explode(F.slice("_ids", F.col("_pos") + F.lit(2), F.size("_ids"))).alias("id_r"),
+        )
+        .where(F.col("id_l") != F.col("id_r"))
+    )
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     id_col: str = "doc_id",
     band_cap: int | None = 5000,
     salt_threshold: int | None = 500,
     salt_groups: int = 8,
-    persist_bands: bool = True,
+    persist_bands: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join band table -> unique candidate pairs (id_l < id_r, match_key).
+    """Band table -> unique candidate pairs (id_l < id_r, match_key).
+
+    ONE shuffle of the band table: groupBy(band_key) collects each band's
+    member list (map-side partial aggregation), and size routing, the cap,
+    and pair generation all run over the grouped result. This replaced the
+    round-1 design (size histogram shuffle + semi-join + band self-join =
+    three scans and two full exchanges of the band table) after an
+    interleaved A/B at 240k docs / local[4] measured it ~35% faster with an
+    identical pair set (100,071 pairs both ways).
+
+    Singleton bands — the overwhelming majority once signatures are
+    selective (measured 94.7% of keys at 240k docs) — die in the size(ids)
+    >= 2 filter without ever reaching a join.
 
     Skew handling, in escalating order (north-rule requirement — "skew from
     hot LSH bands handled explicitly via salted band keys [and] band-size
     caps with documented recall accounting"):
-      size <= salt_threshold   plain self-join on band_key (AQE coalesces);
-      size in (salt_threshold, band_cap]   salted join — all pairs kept, the
-                               hot band's work spread over salt_groups tasks;
+      size <= salt_threshold   native combination explode — pairs stream
+                               out of the grouped row inside codegen;
+      size in (salt_threshold, band_cap]   salted self-join — all pairs
+                               kept, the hot band's O(m^2) emission spread
+                               over salt_groups tasks (a single generator
+                               row cannot be parallelized, a salted join
+                               can);
       size > band_cap          dropped entirely, returned in the accounting
                                table (band_key, band_size) — NEVER silent.
 
-    The size histogram is one map-side-combinable groupBy; the hot/dropped
-    key lists are tiny by construction, so they broadcast.
+    Scale caveat, documented not hidden: the aggregation buffers one id list
+    per band, so a pathological mega-band of 10M members builds an ~80 MB
+    list on one reducer before the cap drops it. Upstream exact-dedup (the
+    pipeline's prepare stage collapses identical texts) bounds this in
+    practice; if a corpus can ship mega-bands straight into LSH, cap the
+    fanout earlier (prefilter) rather than here.
+
+    persist_bands is retained for API compatibility and ignored: the grouped
+    design scans the band table exactly once, so there is nothing to reuse.
     """
+    del persist_bands  # single-scan design; see docstring
     spark = bands_df.sparkSession
-    # The band table is scanned by the histogram AND each join branch; the
-    # histogram feeds the cap AND salt routing. persist_bands=True caches the
-    # exploded band table so an EXPENSIVE lineage (e.g. a signature UDF not
-    # yet checkpointed) executes once (measured 25s vs 6s at 40k docs x 32
-    # bands with the UDF in the lineage). When the caller's band lineage is
-    # already a cheap codegen fanout over a checkpointed signature table —
-    # every engine path after round 2 — pass persist_bands=False: pumping
-    # 32x-exploded rows through the block store costs more memory bandwidth
-    # than recomputing the fanout per scan, and bandwidth is the scarce
-    # resource on wide-row stages (see BENCH.md saturation notes).
-    if persist_bands:
-        bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
-    # the size histogram is small (one row per distinct band key) and feeds
-    # two broadcast key lists + the accounting table — always worth caching
-    sizes = (
+    size = F.size("ids")
+    grouped = (
         bands_df.groupBy("band_key")
-        .agg(F.count("*").alias("band_size"))
+        .agg(F.min("band_id").alias("band_id"), F.collect_list(id_col).alias("ids"))
+        .where(size >= 2)
+        # scanned by the cold/hot pair job and the dropped-accounting job
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Eligibility is decided on the SIZE HISTOGRAM, not the band table:
-    # singleton bands — the overwhelming majority of keys once signatures are
-    # selective (measured 94.7% at 240k docs) — cannot produce a pair, so the
-    # self-join's shuffle shrinks ~10x by semi-joining bands against the
-    # multi-member key list first. The key lists are orders of magnitude
-    # smaller than the band table (histogram tail), so AQE turns these
-    # semi-joins into broadcasts at small scale and falls back to a shuffle
-    # semi-join at corpus scale — both strictly cheaper than shuffling every
-    # singleton band row through the self-join twice.
     if band_cap is not None:
-        dropped = sizes.filter(F.col("band_size") > band_cap)
-        upper = F.col("band_size") <= band_cap
+        dropped = grouped.where(size > band_cap).select(
+            "band_key", size.cast("long").alias("band_size")
+        )
+        upper = size <= band_cap
     else:
         dropped = spark.createDataFrame([], "band_key bigint, band_size bigint")
         upper = F.lit(True)
-    eligible = sizes.filter((F.col("band_size") >= 2) & upper)
 
     if salt_threshold is not None:
-        hot_keys = eligible.filter(F.col("band_size") > salt_threshold).select("band_key")
-        cold_keys = eligible.filter(F.col("band_size") <= salt_threshold).select("band_key")
-        raw = _self_join_pairs(semi_join_bands(bands_df, cold_keys), id_col).unionByName(
-            _salted_self_join_pairs(bands_df.join(F.broadcast(hot_keys), "band_key", "left_semi"),
-                                    id_col, salt_groups)
+        raw = _combination_pairs(grouped.where(upper & (size <= salt_threshold))).unionByName(
+            _salted_self_join_pairs(
+                grouped.where(upper & (size > salt_threshold)).select(
+                    "band_key", "band_id", F.explode("ids").alias(id_col)
+                ),
+                id_col,
+                salt_groups,
+            ).select("band_id", "id_l", "id_r")
         )
     else:
-        raw = _self_join_pairs(semi_join_bands(bands_df, eligible.select("band_key")), id_col)
+        raw = _combination_pairs(grouped.where(upper))
 
-    # Materialize the (narrow) pair table eagerly, then release the wide band
+    # Materialize the (narrow) pair table eagerly, then release the grouped
     # table: every downstream consumer (verify's semi-join + join, counts,
     # CC edges) scans `pairs` more than once, and without the cut the band
-    # self-join would re-execute per scan. Eager checkpoint also lets this
+    # aggregation would re-execute per scan. Eager checkpoint also lets this
     # function own its persist scope — callers in long-lived sessions
     # (streaming micro-batches) never accumulate leaked cache blocks.
     pairs = (
@@ -187,7 +218,5 @@ def candidate_pairs(
         .localCheckpoint(eager=True)
     )
     dropped = dropped.localCheckpoint(eager=True)  # tiny by construction
-    sizes.unpersist()
-    if persist_bands:
-        bands_df.unpersist()
+    grouped.unpersist()
     return pairs, dropped

@@ -107,7 +107,6 @@ def substring_pairs(
 
     cands, dropped = candidate_pairs(
         fingerprint_keys(docs, id_col=id_col), id_col=id_col, band_cap=band_cap,
-        persist_bands=False,  # fingerprints are checkpointed; explode is cheap
     )
     if checkpoint_dir is not None:
         # candidate_pairs already cut the pair table executor-locally; re-stage

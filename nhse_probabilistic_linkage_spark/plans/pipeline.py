@@ -183,12 +183,10 @@ class DedupPipeline:
         bands = band_keys(
             signatures, id_col=self.id_col, bands=cfg.bands, rows_per_band=cfg.rows_per_band
         )
-        # persist_bands=False: `bands` is a codegen fanout over the
-        # checkpointed signatures stage — recomputing it per scan is cheaper
-        # than pushing the 32x-exploded table through the block store
+        # the 32x band fanout stays a codegen expression feeding the single
+        # groupBy(band_key) shuffle inside candidate_pairs — never persisted
         cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap,
-                                         salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups,
-                                         persist_bands=False)
+                                         salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups)
         pairs = self._materialize(cands, "pairs", manifest, already_cut=True)
         # cheap emptiness probe first — the full count job only runs when a
         # band actually got dropped (rare by construction)

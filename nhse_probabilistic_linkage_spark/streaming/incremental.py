@@ -155,10 +155,10 @@ class IncrementalDedup:
         nb = nb.withColumn("bucket", F.pmod("band_key", F.lit(self.n_buckets)).cast("int"))
         nb = nb.localCheckpoint(eager=True)
 
-        # new x new — full skew machinery (nb is checkpointed: no band persist)
+        # new x new — full skew machinery
         nn_cands, _ = candidate_pairs(
             nb, band_cap=cfg.band_cap, salt_threshold=cfg.salt_threshold,
-            salt_groups=cfg.salt_groups, persist_bands=False
+            salt_groups=cfg.salt_groups
         )
         nn = verify_pairs(nn_cands, docs, threshold=cfg.jaccard_threshold)
 

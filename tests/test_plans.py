@@ -144,3 +144,31 @@ def test_verify_join_does_not_broadcast_docs(spark, small_verify):
     # the wide shingle side must arrive via shuffle (hash join build per
     # partition), never a driver-built broadcast of the whole doc table
     assert "ShuffledHashJoin" in plan, plan[:4000]
+
+
+def test_candidate_cold_path_is_joinless_single_shuffle(spark):
+    """The grouped candidate design's contract: cold-band pair generation is
+    ONE exchange (the groupBy(band_key) list aggregation) followed by pure
+    generator explodes — no join operator anywhere in the plan. This is the
+    shape that replaced the histogram + self-join formulation (~35% faster
+    at 240k docs, identical pair set)."""
+    from nhse_probabilistic_linkage_spark.operators.lsh import _combination_pairs
+
+    bands = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.pmod("id", F.lit(1000)).alias("band_key"),
+    )
+    grouped = (
+        bands.groupBy("band_key")
+        .agg(F.min("band_id").alias("band_id"), F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    raw = _combination_pairs(grouped)
+    raw.write.format("noop").mode("overwrite").save()
+    plan = _plan(raw)
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "Generate" in plan  # the streaming combination explode
+    # and the pair set is exactly the per-band combinations
+    assert raw.count() == 1000 * (4 * 3 // 2)
