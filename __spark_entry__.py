@@ -960,6 +960,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q77_token_chunking"] = q77_token_chunking
 
+    def q78_tiered_dedup(spark, sf_dir):
+        # the tier cascade: exact collapse, then MinHash near-dup on the
+        # survivors only; status rows account for every input doc and
+        # canonical ids are resolved through the chain. At J>=0.8 the
+        # MinHash tier's pair set equals the brute-force oracle (q52's
+        # equivalence regime), so the whole cascade is SQL-replayable.
+        from nhse_probabilistic_linkage_spark.plans.tiers import tiered_dedup
+
+        docs = _t(spark, sf_dir, "documents")
+        out = tiered_dedup(docs, DedupConfig(jaccard_threshold=0.8))
+        return out["status"]
+
+    q["q78_tiered_dedup"] = q78_tiered_dedup
+
     return q
 
 
@@ -1615,5 +1629,50 @@ def oracle_sql() -> dict[str, str]:
                  AS chunk_text
         FROM st
     """
+
+    # tier cascade replay: exact drops by normalized-text partition, then
+    # brute-force jaccard >= 0.8 pairs among exact survivors, recursive-CTE
+    # connected components (min-id canonical), and canonical-chain
+    # resolution for exact drops whose representative lost the near tier
+    o["q78_tiered_dedup"] = f"""
+        WITH {_SHINGLES_CTE},
+        nrm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS rep_id FROM nrm),
+        ed AS (SELECT doc_id, rep_id FROM grp WHERE doc_id <> rep_id),
+        s1 AS (SELECT doc_id FROM grp WHERE doc_id = rep_id),
+        sh1 AS (SELECT sh.doc_id, sh.s FROM sh JOIN s1 USING (doc_id)),
+        inv AS (SELECT doc_id, unnest(s) AS gram FROM sh1),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+          FROM inv l JOIN inv r ON l.gram = r.gram AND l.doc_id < r.doc_id
+        ),
+        scored AS (
+          SELECT c.id_l, c.id_r,
+                 len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM cand c JOIN sh1 a ON c.id_l = a.doc_id JOIN sh1 b ON c.id_r = b.doc_id
+        ),
+        edges AS (
+          SELECT id_l AS src, id_r AS dst FROM scored WHERE j >= 0.8
+          UNION ALL
+          SELECT id_r, id_l FROM scored WHERE j >= 0.8
+        ),
+        walk AS (
+          SELECT doc_id AS id, doc_id AS reach FROM s1
+          UNION
+          SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+        ),
+        cl AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+        nd AS (SELECT doc_id, cluster_id FROM cl WHERE doc_id <> cluster_id)
+        SELECT ed.doc_id, 'exact' AS tier,
+               coalesce(nd.cluster_id, ed.rep_id) AS canonical_id
+        FROM ed LEFT JOIN nd ON ed.rep_id = nd.doc_id
+        UNION ALL
+        SELECT doc_id, 'near' AS tier, cluster_id AS canonical_id FROM nd
+        UNION ALL
+        SELECT doc_id, 'kept' AS tier, doc_id AS canonical_id
+        FROM cl WHERE doc_id = cluster_id
+    """
+    o["q78_tiered_dedup"] = "WITH RECURSIVE " + o["q78_tiered_dedup"].strip()[len("WITH "):]
 
     return o

@@ -1,0 +1,180 @@
+"""Tiered deduplication: exact -> near (MinHash) -> semantic (embedding),
+each tier operating ONLY on the survivors of the previous one.
+
+This is the production shape of web-corpus dedup at 100 TB: detectors are
+ordered by cost per byte, and the cheap tier shrinks the corpus before the
+expensive tier ever scans it. On crawl data the exact tier alone removes the
+majority of bytes (mirror pages, re-crawls) with a 16-byte-per-row shuffle;
+the MinHash tier then runs on a corpus a fraction of the original size; the
+optional embedding tier — the only one that needs a vector per doc — sees
+only what survived both.
+
+Contrast with jobs/run_dedup.py, which runs detectors in PARALLEL over the
+full corpus and unions their edges (the evaluation shape: you want every
+detector's view of the same input, plus agreement vectors). The cascade here
+is the deployment shape: minimal total work, one canonical per document,
+per-tier drop accounting.
+
+Reference analog: the staged MPS pipeline — deterministic ingest collapse
+first, then probabilistic linkage on what remains (run_pipeline.py stage
+ordering; dataset_ingestion before splink matching). Same economics, applied
+to web pages instead of person records.
+
+Scale notes:
+- Every inter-tier handoff is an id-only semi/anti join (8-byte keys); the
+  wide text/embedding columns are re-attached by joining the original input,
+  never carried through the tier bookkeeping.
+- Dropped-doc status rows are (id, tier, canonical) — narrow — and the
+  canonical-chain resolution joins tier maps that SHRINK monotonically
+  (tier N's map only contains docs that survived tiers < N).
+- Each tier's survivor id set is cut eagerly (localCheckpoint) because the
+  next tier and the status union both scan it; without the cut the previous
+  tier's full lineage (including the MinHash kernel) would re-execute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.config import DedupConfig
+from nhse_probabilistic_linkage_spark.operators.connected_components import assign_components
+from nhse_probabilistic_linkage_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+
+@dataclass(frozen=True)
+class TierMetric:
+    tier: str
+    n_in: int
+    n_dropped: int
+    n_out: int
+
+
+def _cluster_drops(ids: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+    """(doc_id, canonical_id) for every doc that is NOT its cluster's min id.
+
+    assign_components emits cluster_id = min member id, so the cluster id IS
+    the surviving canonical — no separate election join needed here."""
+    clusters = assign_components(ids, edges, id_col=id_col)
+    return clusters.where(F.col(id_col) != F.col("cluster_id")).select(
+        F.col(id_col), F.col("cluster_id").alias("canonical_id")
+    )
+
+
+def tiered_dedup(
+    docs: DataFrame,
+    config: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    embeddings: DataFrame | None = None,
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    exact_cosine: bool = False,
+) -> dict:
+    """Run the cascade. Returns dict with:
+
+    status    one row per input doc: (id_col, tier, canonical_id) where tier
+              is the tier that DROPPED the doc ('exact' | 'near' |
+              'semantic') or 'kept'; canonical_id is resolved through the
+              whole chain, so it always names a KEPT document (an exact dup
+              of a page whose representative later lost a near-dup election
+              points at the final winner, not the intermediate one).
+    survivors the kept rows of `docs`, original columns intact.
+    metrics   list[TierMetric] — per-tier in/dropped/out counts (the north
+              rule's drop accounting: nothing is removed silently).
+
+    The embedding tier runs only when `embeddings` (id_col, vec_col) is
+    passed; docs without a vector pass through it untouched (a missing
+    embedding must not silently delete a document).
+    """
+    ids0 = docs.select(F.col(id_col).cast("long").alias(id_col)).localCheckpoint(eager=True)
+    n0 = ids0.count()
+    metrics: list[TierMetric] = []
+
+    # ---- tier 1: exact (128-bit fingerprint groupBy) ----------------------
+    groups = exact_dedup(docs, id_col=id_col, text_col=text_col)
+    exact_drops = (
+        groups.where(F.col(id_col) != F.col("rep_id"))
+        .select(F.col(id_col).cast("long").alias(id_col), F.col("rep_id").cast("long").alias("canonical_id"))
+        .localCheckpoint(eager=True)
+    )
+    surv1 = ids0.join(exact_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
+    n1 = surv1.count()
+    metrics.append(TierMetric("exact", n0, n0 - n1, n1))
+
+    # ---- tier 2: near (MinHash LSH + exact-Jaccard verify) ----------------
+    docs1 = docs.join(surv1, id_col, "left_semi")
+    pairs, _dropped_bands = minhash_lsh_pairs(docs1, config, id_col=id_col, text_col=text_col)
+    near_drops = _cluster_drops(
+        surv1, pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
+    ).localCheckpoint(eager=True)
+    surv2 = surv1.join(near_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
+    n2 = surv2.count()
+    metrics.append(TierMetric("near", n1, n1 - n2, n2))
+
+    # ---- tier 3: semantic (embedding cosine), optional --------------------
+    if embeddings is not None:
+        from nhse_probabilistic_linkage_spark.operators.similarity import embedding_neardup_pairs
+
+        emb2 = embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col).join(
+            surv2, id_col, "left_semi"
+        )
+        epairs = embedding_neardup_pairs(
+            emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col, exact=exact_cosine
+        )
+        sem_drops = _cluster_drops(
+            surv2, epairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
+        ).localCheckpoint(eager=True)
+        surv3 = surv2.join(sem_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
+        n3 = surv3.count()
+        metrics.append(TierMetric("semantic", n2, n2 - n3, n3))
+    else:
+        sem_drops = None
+        surv3 = surv2
+
+    # ---- canonical-chain resolution ---------------------------------------
+    # A doc dropped at tier N points at a tier-N survivor that later tiers
+    # may drop. Resolve by walking forward through the (shrinking) later-tier
+    # maps: chain depth is bounded by the number of tiers, so this is a
+    # fixed, small number of narrow joins — never an iterative loop.
+    def _resolve(status: DataFrame, later_map: DataFrame | None) -> DataFrame:
+        if later_map is None:
+            return status
+        m = later_map.select(
+            F.col(id_col).alias("_k"), F.col("canonical_id").alias("_v")
+        )
+        return (
+            status.join(m, status["canonical_id"] == m["_k"], "left")
+            .withColumn("canonical_id", F.coalesce("_v", "canonical_id"))
+            .drop("_k", "_v")
+        )
+
+    exact_status = exact_drops.withColumn("tier", F.lit("exact"))
+    exact_status = _resolve(_resolve(exact_status, near_drops), sem_drops)
+    near_status = _resolve(near_drops.withColumn("tier", F.lit("near")), sem_drops)
+    parts = [exact_status, near_status]
+    if sem_drops is not None:
+        parts.append(sem_drops.withColumn("tier", F.lit("semantic")))
+    kept_status = surv3.select(
+        F.col(id_col),
+        F.col(id_col).alias("canonical_id"),
+        F.lit("kept").alias("tier"),
+    )
+    parts.append(kept_status)
+    status = parts[0]
+    for p in parts[1:]:
+        status = status.unionByName(p)
+    status = status.select(id_col, "tier", "canonical_id")
+
+    survivors = docs.join(surv3, id_col, "left_semi")
+    return {"status": status, "survivors": survivors, "metrics": metrics}
+
+
+def metrics_df(spark, metrics: list[TierMetric]) -> DataFrame:
+    """Per-tier accounting as a DataFrame (for writing next to the output)."""
+    return spark.createDataFrame(
+        [(m.tier, m.n_in, m.n_dropped, m.n_out) for m in metrics],
+        "tier string, n_in long, n_dropped long, n_out long",
+    )
