@@ -974,6 +974,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q78_tiered_dedup"] = q78_tiered_dedup
 
+    def q79_windowed_event_stats(spark, sf_dir):
+        # event-time tumbling windows over the events table — the SAME
+        # function serves streaming input with a watermark (late-data
+        # semantics pinned in tests/test_windows.py); decimal-sum then
+        # double cast for cross-engine order-independence (q01 pattern)
+        from nhse_probabilistic_linkage_spark.streaming.windows import windowed_event_stats
+
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "value", F.col("value").cast("decimal(18,4)")
+        )
+        return windowed_event_stats(ev, window="15 minutes").select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+
+    q["q79_windowed_event_stats"] = q79_windowed_event_stats
+
     return q
 
 
@@ -1674,5 +1694,21 @@ def oracle_sql() -> dict[str, str]:
         FROM cl WHERE doc_id = cluster_id
     """
     o["q78_tiered_dedup"] = "WITH RECURSIVE " + o["q78_tiered_dedup"].strip()[len("WITH "):]
+
+    # 15-minute tumbling buckets via pure epoch arithmetic (timezone-free,
+    # matches Spark's window() which floors the internal epoch micros)
+    o["q79_windowed_event_stats"] = """
+        SELECT TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+                 AS window_start,
+               TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(ts) / 900) * 900 + 900 AS BIGINT))
+                 AS window_end,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """
 
     return o

@@ -1,0 +1,121 @@
+"""Event-time windowed aggregation (watermarked) and a custom stateful
+first-seen operator — the Structured Streaming surface beyond foreachBatch.
+
+`windowed_event_stats` is ONE function for batch and stream: Spark's
+`window()` has identical semantics on both, so the same plan that backfills
+history as a batch job runs the live tail as a stream (the
+lambda-architecture collapse that makes Structured Streaming worth using).
+On a stream the watermark bounds state: a tumbling-window agg without one
+accumulates every window forever; with it, windows older than
+(max event time - delay) are finalized, emitted (append mode), and evicted.
+Late rows behind the watermark are dropped — by design, and the tests pin
+that behavior rather than hoping for it.
+
+`first_seen` is the applyInPandasWithState analog of streaming exact dedup:
+emit a key's row the FIRST time the key appears across the whole stream,
+drop every later occurrence. State per key is a single marker, grouped by
+the key's hash partition — at 10^12 keys the state store shards across
+executors; use the HDFS-backed state store (checkpointLocation) in
+production so executor loss replays instead of forgetting. This
+differs from streaming/incremental.py's store (which keeps SIGNATURES for
+near-dup joins); first_seen is the cheap exact tier of the same cascade.
+
+Reference analog: the reference has no streaming layer at all (its
+evaluation re-reads whole tables per run, e.g. per-threshold loops in
+notebooks_dedupe/evaluation_dedupe.py:135 — ~40 min). The engine treats
+incremental arrival as a first-class input shape instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    slide: str | None = None,
+    watermark: str | None = None,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) event-time aggregation.
+
+    Output: (window_start, window_end, *keys, n_events, sum_value). Works on
+    batch and streaming DataFrames alike; `watermark` is applied only to a
+    stream (a batch input has no late-data problem — every row is "on time").
+
+    Scale notes: the groupBy shuffles on (window, keys) — window start is
+    derived arithmetically from the timestamp (no join against a window
+    table), so this is one exchange with map-side partial aggregation, and
+    on a stream the state size is (windows in flight) x (distinct keys),
+    bounded by the watermark.
+    """
+    src = df
+    if watermark is not None and df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        src.groupBy(win.alias("win"), *[F.col(k) for k in keys])
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(k) for k in keys],
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def first_seen(
+    stream: DataFrame,
+    key_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Stateful streaming filter: pass each key's first-ever row, drop later
+    occurrences (exact dedup across the lifetime of the stream).
+
+    Implemented with applyInPandasWithState: per-key state is one marker
+    int; rows arrive as Arrow batches (never per-row Python). Within the
+    first batch a key appears in, the smallest row (by the remaining
+    columns' order as delivered) is emitted; every subsequent batch sees
+    state.exists and emits nothing.
+
+    Output schema == input schema. Use output mode "append"; give the query
+    a checkpointLocation so state survives restarts.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_conf = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }[timeout]
+    out_schema = stream.schema
+
+    def emit_first(key, pdf_iter, state):
+        if state.exists:
+            # key already emitted in an earlier micro-batch; consume nothing
+            return
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) > 0:
+                first = pdf.head(1)
+                break
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
