@@ -994,6 +994,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q79_windowed_event_stats"] = q79_windowed_event_stats
 
+    def q80_session_stats(spark, sf_dir):
+        # session windows: per-user activity bursts separated by >= 30 min
+        # of silence; session_end = last event + gap (Spark's definition,
+        # replayed in the oracle with lag/cumsum session assignment)
+        from nhse_probabilistic_linkage_spark.streaming.windows import session_stats
+
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "value", F.col("value").cast("decimal(18,4)")
+        )
+        return session_stats(ev, gap="30 minutes").select(
+            "session_start",
+            "session_end",
+            "user_id",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+
+    q["q80_session_stats"] = q80_session_stats
+
+    def q81_asof_enrich(spark, sf_dir):
+        # as-of join: each event enriched with the user's most recent
+        # purchase at or before it — single-shuffle union+window plan
+        # (no join operator; plan pinned in tests/test_asof.py), checked
+        # against DuckDB's native ASOF LEFT JOIN
+        from nhse_probabilistic_linkage_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        right = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            right,
+            on="ts",
+            by=("user_id",),
+            value_cols=("value",),
+        ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+    q["q81_asof_enrich"] = q81_asof_enrich
+
     return q
 
 
@@ -1709,6 +1747,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2, 3
+    """
+
+    # session assignment: break when the gap to the previous event is >= 30
+    # minutes (an event at exactly prev+gap starts a NEW session — Spark's
+    # window is [start, last+gap)); integer microsecond arithmetic, no
+    # float-epoch precision hazard
+    o["q80_session_stats"] = """
+        WITH x AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """
+
+    o["q81_asof_enrich"] = """
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.value AS asof_value
+        FROM events l
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        ) r ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
     return o

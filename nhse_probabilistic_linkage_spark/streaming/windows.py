@@ -73,6 +73,43 @@ def windowed_event_stats(
     )
 
 
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation: events of a key belong to one session
+    while each is within `gap` of the previous; a gap-sized silence closes
+    the session (session_end = last event + gap, Spark's definition).
+
+    Output: (session_start, session_end, *keys, n_events, sum_value).
+    Batch and streaming alike (streaming session windows need a watermark —
+    sessions can only be finalized once no earlier event can arrive).
+
+    Scale: one shuffle on the keys; Spark merges overlapping candidate
+    windows per key internally — no self-join, no Python. Same hot-key
+    caveat as any per-key sort: a single key with a billion events
+    serializes; pre-split such keys by coarse time with seed carry-over.
+    """
+    src = df
+    if watermark is not None and df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("win"), *[F.col(k) for k in keys])
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *[F.col(k) for k in keys],
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def first_seen(
     stream: DataFrame,
     key_col: str,

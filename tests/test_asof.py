@@ -1,0 +1,114 @@
+"""As-of join (union + window formulation) and session-window stats."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhse_probabilistic_linkage_spark.operators.asof import asof_join
+from nhse_probabilistic_linkage_spark.streaming.windows import session_stats
+
+
+def _t(minute):
+    return datetime(2024, 1, 1, minute // 60, minute % 60, 0)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _t(10), 100.0),
+            (2, "A", _t(20), 101.0),
+            (3, "A", _t(5), 99.0),   # before any quote
+            (4, "B", _t(10), 50.0),
+            (5, "B", _t(200), 51.0),  # quote long stale
+        ],
+        "trade_id long, sym string, ts timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _t(8), 99.5),
+            ("A", _t(10), 100.5),  # tie with trade 1 -> matches
+            ("A", _t(15), 100.9),
+            ("B", _t(9), 49.9),
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_basic_and_ties(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {r["trade_id"]: r for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()}
+    assert len(out) == 5  # left join: every trade kept
+    assert out[1]["asof_bid"] == 100.5  # equal timestamp matches
+    assert out[2]["asof_bid"] == 100.9  # most recent earlier quote
+    assert out[3]["asof_bid"] is None and out[3]["asof_ts"] is None  # nothing before
+    assert out[4]["asof_bid"] == 49.9
+    assert out[5]["asof_bid"] == 49.9  # no tolerance -> stale still matches
+    # left columns pass through untouched
+    assert out[2]["px"] == 101.0 and out[2]["sym"] == "A"
+
+
+def test_asof_tolerance_nulls_stale(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = {
+        r["trade_id"]: r
+        for r in asof_join(trades, quotes, on="ts", by=("sym",), tolerance="30 minutes").collect()
+    }
+    assert out[4]["asof_bid"] == 49.9  # 1 minute old: within tolerance
+    assert out[5]["asof_bid"] is None  # 191 minutes old: nulled, row kept
+    assert len(out) == 5
+
+
+def test_asof_matches_duckdb_asof_join(spark, trades_quotes):
+    """Cross-engine contract: same result as DuckDB's native ASOF JOIN."""
+    duckdb = pytest.importorskip("duckdb")
+    trades, quotes = trades_quotes
+    got = sorted(
+        (r["trade_id"], r["asof_bid"])
+        for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()
+    )
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    want = sorted(
+        (tid, bid)
+        for tid, bid in con.execute(
+            "SELECT t.trade_id, q.bid FROM trades t "
+            "ASOF LEFT JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_asof_plan_is_single_shuffle_no_join(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    plan = (
+        asof_join(trades, quotes, on="ts", by=("sym",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Exchange") <= 2  # union sides feed ONE window exchange
+
+
+def test_session_stats_batch(spark):
+    rows = [
+        (1, _t(0), 1.0),
+        (1, _t(20), 1.0),   # within 30m of previous -> same session
+        (1, _t(60), 2.0),   # 40m silence -> new session
+        (2, _t(0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        session_stats(df, gap="30 minutes").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert [(r["user_id"], r["n_events"], r["sum_value"]) for r in out] == [
+        (1, 2, 2.0),
+        (1, 1, 2.0),
+        (2, 1, 5.0),
+    ]
+    s0 = out[0]
+    assert s0["session_start"] == _t(0)
+    assert s0["session_end"] == _t(50)  # last event 00:20 + 30m gap
