@@ -56,6 +56,13 @@ def prefilter_pages(
         reasons.append("url_dup")
     else:
         cur = cur.withColumn("_f_url_dup", F.lit(False))
+    # one tokenization feeds every token-derived gate (materialized
+    # projection; lambda exprs are opaque to subexpression elimination —
+    # see textstats.with_textstats)
+    from nhse_probabilistic_linkage_spark.functions.text import tokenize
+
+    cur = cur.withColumn("_pf_toks", tokenize(F.col(text_col)))
+    toks = F.col("_pf_toks")
     if repetition:
         cur = cur.withColumn(
             "_f_repetition",
@@ -63,16 +70,20 @@ def prefilter_pages(
                 F.col(text_col),
                 max_dup_line_ratio=max_dup_line_ratio,
                 max_top_token_ratio=max_top_token_ratio,
+                tokens=toks,
             ),
         )
         reasons.append("repetition")
     else:
         cur = cur.withColumn("_f_repetition", F.lit(False))
     if min_quality is not None:
-        cur = cur.withColumn("_f_low_quality", TS.quality_score(F.col(text_col)) < min_quality)
+        cur = cur.withColumn(
+            "_f_low_quality", TS.quality_score(F.col(text_col), tokens=toks) < min_quality
+        )
         reasons.append("low_quality")
     else:
         cur = cur.withColumn("_f_low_quality", F.lit(False))
+    cur = cur.drop("_pf_toks")
 
     flagged = cur.localCheckpoint(eager=True)
     kept = flagged.where(
