@@ -1032,6 +1032,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q81_asof_enrich"] = q81_asof_enrich
 
+    def q82_time_rollup(spark, sf_dir):
+        # hypertable-style continuous aggregate: one pass produces the
+        # 15-minute, hourly, daily, and grand-total resolutions via ROLLUP
+        # (partial aggregation reuses the finer level — Catalyst's Expand +
+        # single shuffle, not four scans); grouping_id labels the level
+        ev = _t(spark, sf_dir, "events")
+        b15 = F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / 900).cast("long") * 900
+        ).alias("bucket_15m")
+        bh = F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
+        bd = F.date_trunc("day", F.col("ts")).alias("bucket_day")
+        return (
+            ev.select(bd, bh, b15, F.col("value").cast("decimal(18,4)").alias("value"))
+            .rollup("bucket_day", "bucket_hour", "bucket_15m")
+            .agg(
+                F.grouping_id().alias("lvl"),
+                F.count("*").alias("n_events"),
+                F.sum("value").cast("double").alias("sum_value"),
+            )
+            .select("bucket_day", "bucket_hour", "bucket_15m", "lvl", "n_events", "sum_value")
+        )
+
+    q["q82_time_rollup"] = q82_time_rollup
+
     return q
 
 
@@ -1781,6 +1805,24 @@ def oracle_sql() -> dict[str, str]:
         ASOF LEFT JOIN (
           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    # GROUPING() bit order matches Spark's grouping_id (leftmost = MSB)
+    o["q82_time_rollup"] = """
+        WITH b AS (
+          SELECT date_trunc('day', ts) AS bucket_day,
+                 date_trunc('hour', ts) AS bucket_hour,
+                 TIMESTAMP '1970-01-01'
+                   + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+                   AS bucket_15m,
+                 CAST(value AS DECIMAL(18,4)) AS value
+          FROM events
+        )
+        SELECT bucket_day, bucket_hour, bucket_15m,
+               grouping(bucket_day, bucket_hour, bucket_15m) AS lvl,
+               count(*) AS n_events,
+               CAST(sum(value) AS DOUBLE) AS sum_value
+        FROM b GROUP BY ROLLUP(bucket_day, bucket_hour, bucket_15m)
     """
 
     return o
