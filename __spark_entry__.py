@@ -1694,15 +1694,17 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
 
-    # chunk_tokens=32, overlap=4 -> stride 28. Spark's sequence(0, n-1, 28)
-    # (inclusive end) == DuckDB's range(0, n, 28) (exclusive end); both
-    # list-slice clamps at the ragged tail.
+    # chunk_tokens=32, overlap=4 -> stride 28. Spark's
+    # sequence(0, greatest(n-overlap-1, 0), 28) (inclusive end) ==
+    # DuckDB's range(0, greatest(n-overlap, 1), 28) (exclusive end): no
+    # start may fall inside the final overlap region (a tail chunk fully
+    # contained in its predecessor); both list-slice clamps at the tail.
     o["q77_token_chunking"] = f"""
         WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         st AS (
           SELECT doc_id, toks,
-                 unnest(range(0, len(toks), 28)) AS tok_start,
-                 generate_subscripts(range(0, len(toks), 28), 1) - 1 AS chunk_id
+                 unnest(range(0, greatest(len(toks) - 4, 1), 28)) AS tok_start,
+                 generate_subscripts(range(0, greatest(len(toks) - 4, 1), 28), 1) - 1 AS chunk_id
           FROM d WHERE len(toks) > 0
         )
         SELECT doc_id, chunk_id, tok_start,

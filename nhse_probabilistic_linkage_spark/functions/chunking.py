@@ -33,7 +33,9 @@ def chunk_docs(
 
     Output: (id_col, chunk_id, tok_start, n_tokens, chunk_text). Windows
     start every (chunk_tokens - overlap) tokens; the final window is the
-    ragged tail (>= 1 token). Empty documents produce no rows — the same
+    ragged tail, which always contributes at least one token NOT covered by
+    the previous chunk (no fully-redundant tail). Empty documents produce
+    no rows — the same
     null-discipline as explode (not explode_outer), because a chunk with no
     text has nothing to train on.
     """
@@ -42,11 +44,14 @@ def chunk_docs(
     stride = chunk_tokens - overlap
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
-    # 0-based window starts: 0, stride, 2*stride, ... < n (at least one
-    # window when n > 0; sequence is inclusive so step back from n-1)
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # 0-based window starts: 0, stride, 2*stride, ...; the last start must
+    # be < n - overlap (inclusive bound max(n - overlap - 1, 0)) — a start
+    # inside the final overlap region would emit a tail chunk whose tokens
+    # are entirely contained in the previous chunk (pure duplication in a
+    # training export). Exactly ceil((n - overlap) / stride) chunks result.
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
         .select(id_col, "_toks", F.posexplode("_starts").alias("chunk_id", "tok_start"))

@@ -51,15 +51,23 @@ def asof_join(
     if value_cols is None:
         value_cols = tuple(c for c in right.columns if c not in (*by, on))
     lcols = list(left.columns)
-    r_val_aliases = [f"_r_{c}" for c in value_cols]
 
+    # The matched right row is carried as ONE struct, not per-column lasts:
+    # per-column last(..., ignorenulls) would conflate "not a right row"
+    # with "right row whose value IS NULL" and stitch together fields from
+    # DIFFERENT right rows (the timestamp from the newest, the value from
+    # the newest with a non-null value). One struct, one last() — the match
+    # is atomic and legitimate NULL values survive.
+    rrow_t = f"struct<t:{right.schema[on].dataType.simpleString()}," + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ) + ">"
     tagged_left = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols if c not in by and c != on],
         F.col(on),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(value_cols, r_val_aliases)],
+        F.lit(None).cast(rrow_t).alias("_rrow"),
     )
     tagged_right = right.select(
         *[F.col(c) for c in by],
@@ -67,37 +75,33 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != on],
         F.lit(None).cast(left.schema[on].dataType).alias(on),
-        *[F.col(c).alias(a) for c, a in zip(value_cols, r_val_aliases)],
+        F.struct(
+            F.col(on).alias("t"), *[F.col(c).alias(c) for c in value_cols]
+        ).alias("_rrow"),
     )
 
+    # Tie rules: right rows sort before left rows at equal times (equal
+    # timestamps match); duplicate right rows at the same (by, on) are
+    # broken by a value hash — arbitrary but a pure function of the data,
+    # so the pick is stable under repartitioning (same determinism policy
+    # as sampling.stratified_cap).
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.xxhash64("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_left.unionByName(tagged_right).select(
         "*",
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_m_t"),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(a)), ignorenulls=True)
-            .over(w)
-            .alias(f"_m_{a}")
-            for a in r_val_aliases
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
     )
     out = carried.where(F.col("_side") == 1)
     if tolerance is not None:
-        in_tol = F.col("_m_t") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+        in_tol = F.col("_m.t") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
     else:
         in_tol = F.lit(True)
-    keep = F.col("_m_t").isNotNull() & in_tol
+    keep = F.col("_m").isNotNull() & in_tol
     return out.select(
         *[F.col(c) for c in lcols],
-        F.when(keep, F.col("_m_t")).alias(f"{prefix}{on}"),
-        *[
-            F.when(keep, F.col(f"_m_{a}")).alias(f"{prefix}{c}")
-            for c, a in zip(value_cols, r_val_aliases)
-        ],
+        F.when(keep, F.col("_m.t")).alias(f"{prefix}{on}"),
+        *[F.when(keep, F.col(f"_m.{c}")).alias(f"{prefix}{c}") for c in value_cols],
     )

@@ -58,7 +58,9 @@ def contamination_hits(
     least one overlapping shingle. hit_ratio is containment: overlapping
     distinct shingles / document's distinct shingles.
     """
-    grams = benchmark_grams(benchmark, text_col=text_col, k=k)
+    # cut eagerly: the gram set is scanned by the count AND the probe join —
+    # without the cut the tokenize/shingle/distinct lineage runs twice
+    grams = benchmark_grams(benchmark, text_col=text_col, k=k).localCheckpoint(eager=True)
     n_grams = grams.count()  # one job over the small side; decides broadcast
     build = F.broadcast(grams) if n_grams <= BROADCAST_GRAM_LIMIT else grams
     doc_grams = (

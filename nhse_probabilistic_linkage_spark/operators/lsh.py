@@ -50,21 +50,6 @@ def band_keys(
     )
 
 
-def oversized_bands(bands_df: DataFrame, band_cap: int) -> DataFrame:
-    """Band keys whose member count exceeds the cap (tiny by construction)."""
-    return (
-        bands_df.groupBy("band_key")
-        .agg(F.count("*").alias("band_size"))
-        .filter(F.col("band_size") > band_cap)
-    )
-
-
-def _self_join_pairs(bands: DataFrame, id_col: str) -> DataFrame:
-    left = bands.select("band_key", "band_id", F.col(id_col).alias("id_l"))
-    right = bands.select("band_key", F.col(id_col).alias("id_r"))
-    return left.join(right, "band_key").where(F.col("id_l") < F.col("id_r"))
-
-
 def _salted_self_join_pairs(bands: DataFrame, id_col: str, salt_groups: int) -> DataFrame:
     """Skew-breaking self-join for hot bands: split a band of m members into
     g salt groups; the left side carries its group id, the right side is

@@ -121,9 +121,14 @@ def tiered_dedup(
         emb2 = embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col).join(
             surv2, id_col, "left_semi"
         )
-        epairs = embedding_neardup_pairs(
-            emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col, exact=exact_cosine
-        )
+        if emb2.isEmpty():
+            # every embedded doc fell in an earlier tier: no semantic edges
+            # (and the LSH path's dimension inference has no row to probe)
+            epairs = docs.sparkSession.createDataFrame([], "id_l long, id_r long")
+        else:
+            epairs = embedding_neardup_pairs(
+                emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col, exact=exact_cosine
+            )
         sem_drops = _cluster_drops(
             surv2, epairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
         ).localCheckpoint(eager=True)

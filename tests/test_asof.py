@@ -82,6 +82,32 @@ def test_asof_matches_duckdb_asof_join(spark, trades_quotes):
     assert got == want
 
 
+def test_asof_null_value_is_not_stitched(spark):
+    """The matched right row is atomic: a NULL value in the newest matching
+    right row must surface as NULL, not be backfilled from an older row
+    (per-column ignorenulls carries would stitch fields from different
+    rows)."""
+    left = spark.createDataFrame([(1, "A", _t(6))], "trade_id long, sym string, ts timestamp")
+    right = spark.createDataFrame(
+        [("A", _t(0), 49.9), ("A", _t(5), None)], "sym string, ts timestamp, bid double"
+    )
+    r = asof_join(left, right, on="ts", by=("sym",)).collect()[0]
+    assert r["asof_ts"] == _t(5)
+    assert r["asof_bid"] is None  # the 10:05 row's NULL, not 10:00's 49.9
+
+
+def test_asof_duplicate_right_ts_is_deterministic(spark):
+    left = spark.createDataFrame([(1, "A", _t(6))], "trade_id long, sym string, ts timestamp")
+    right = spark.createDataFrame(
+        [("A", _t(5), 1.0), ("A", _t(5), 2.0)], "sym string, ts timestamp, bid double"
+    )
+    picks = {
+        asof_join(left, right.repartition(n), on="ts", by=("sym",)).collect()[0]["asof_bid"]
+        for n in (1, 3, 7)
+    }
+    assert len(picks) == 1  # same winner under any partitioning
+
+
 def test_asof_plan_is_single_shuffle_no_join(spark, trades_quotes):
     trades, quotes = trades_quotes
     plan = (

@@ -62,6 +62,21 @@ def test_chunk_zero_overlap_partitions_exactly(spark, docs):
     assert joined == " ".join(f"w{i}" for i in range(100))
 
 
+def test_chunk_no_redundant_tail(spark):
+    # 13 tokens, chunk 8, overlap 2 (stride 6): a start at 12 would emit a
+    # 1-token chunk fully contained in the previous chunk (tokens 7-13) —
+    # the start sequence must stop before n - overlap
+    df = spark.createDataFrame([(1, " ".join(f"w{i}" for i in range(13)))], "doc_id long, text string")
+    out = sorted(chunk_docs(df, chunk_tokens=8, overlap=2).collect(), key=lambda r: r["chunk_id"])
+    assert [r["tok_start"] for r in out] == [0, 6]  # ceil((13-2)/6) == 2 chunks
+    assert out[-1]["n_tokens"] == 7  # tokens 6..12 — ends at the doc end
+    # every chunk contributes at least one token beyond the previous chunk
+    prev_end = 0
+    for r in out:
+        assert r["tok_start"] + r["n_tokens"] > prev_end
+        prev_end = r["tok_start"] + r["n_tokens"]
+
+
 def test_chunk_rejects_bad_overlap(spark, docs):
     with pytest.raises(ValueError):
         chunk_docs(docs, chunk_tokens=8, overlap=8)

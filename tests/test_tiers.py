@@ -86,6 +86,17 @@ def test_semantic_tier_and_chain_resolution(spark, corpus):
     assert all(r["canonical_id"] in kept for r in status.values())
 
 
+def test_semantic_tier_with_no_surviving_embeddings(spark, corpus):
+    # every embedded doc is dropped by an earlier tier -> the semantic tier
+    # must no-op (not crash in the LSH path's dimension inference)
+    emb = spark.createDataFrame([(2, [1.0, 0.0])], "doc_id long, embedding array<double>")
+    out = tiered_dedup(corpus, DedupConfig(jaccard_threshold=0.7), embeddings=emb,
+                       cosine_threshold=0.9, exact_cosine=False)
+    m = {t.tier: t for t in out["metrics"]}
+    assert m["semantic"].n_dropped == 0
+    assert sorted(r["doc_id"] for r in out["survivors"].collect()) == [1, 4, 6]
+
+
 def test_docs_without_embedding_pass_through(spark, corpus):
     emb = spark.createDataFrame([(1, [1.0, 0.0])], "doc_id long, embedding array<double>")
     out = tiered_dedup(corpus, DedupConfig(jaccard_threshold=0.7), embeddings=emb,
