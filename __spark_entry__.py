@@ -1056,6 +1056,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q82_time_rollup"] = q82_time_rollup
 
+    def q83_percentile_stats(spark, sf_dir):
+        # exact grouped percentiles (linear interpolation — same algorithm
+        # as DuckDB's quantile_cont, verified bit-equal after round(6));
+        # single shuffle, Spark's percentile is a typed aggregate buffer
+        ev = _t(spark, sf_dir, "events")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+
+    q["q83_percentile_stats"] = q83_percentile_stats
+
     return q
 
 
@@ -1825,6 +1841,17 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                CAST(sum(value) AS DOUBLE) AS sum_value
         FROM b GROUP BY ROLLUP(bucket_day, bucket_hour, bucket_15m)
+    """
+
+    o["q83_percentile_stats"] = """
+        SELECT event_type,
+               count(*) AS n,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               min(value) AS vmin,
+               max(value) AS vmax
+        FROM events GROUP BY event_type
     """
 
     return o

@@ -55,6 +55,21 @@ def parse_args(argv=None):
         action="store_true",
         help="URL-dedup + repetition gates before the detectors (drops accounted)",
     )
+    p.add_argument(
+        "--mode",
+        choices=["union", "cascade"],
+        default="union",
+        help="union: every detector over the full corpus, edges unioned "
+        "(evaluation shape). cascade: exact -> MinHash [-> embedding] tiers, "
+        "each over the previous tier's survivors (deployment shape; "
+        "--detectors is ignored)",
+    )
+    p.add_argument(
+        "--embeddings",
+        default=None,
+        help="cascade mode: parquet of (doc_id, embedding) enabling the "
+        "semantic tier; docs without a vector pass through it",
+    )
     p.add_argument("--min-quality", type=float, default=None,
                    help="with --prefilter: drop docs under this quality score")
     return p.parse_args(argv)
@@ -92,6 +107,36 @@ def main(argv=None) -> dict:
             min_quality=args.min_quality,
         )
     pages = pages.withColumn("doc_id", F.xxhash64("url")).localCheckpoint(eager=True)
+
+    if args.mode == "cascade":
+        from nhse_probabilistic_linkage_spark.plans.tiers import metrics_df, tiered_dedup
+
+        emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+        result = tiered_dedup(pages, cfg, embeddings=emb)
+        os.makedirs(args.output, exist_ok=True)
+        result["status"].write.mode("overwrite").parquet(os.path.join(args.output, "status"))
+        result["survivors"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "survivors")
+        )
+        metrics_df(spark, result["metrics"]).write.mode("overwrite").parquet(
+            os.path.join(args.output, "tier_metrics")
+        )
+        if prefilter_metrics is not None:
+            prefilter_metrics.write.mode("overwrite").parquet(
+                os.path.join(args.output, "prefilter_drops")
+            )
+        elapsed = time.monotonic() - t0
+        n_docs = pages.count()
+        summary = {
+            "mode": "cascade",
+            "docs": n_docs,
+            "seconds": round(elapsed, 2),
+            "docs_per_sec": round(n_docs / elapsed, 1),
+            "tiers": {m.tier: {"in": m.n_in, "dropped": m.n_dropped, "out": m.n_out}
+                      for m in result["metrics"]},
+        }
+        print("SUMMARY " + json.dumps(summary))
+        return summary
 
     # minhash runs inside the (checkpointed, resumable) pipeline; the other
     # detectors contribute extra edges before clustering. The pipeline is

@@ -51,3 +51,25 @@ def test_multi_detector_agreement_output(spark, tmp_path):
     assert ag.where("minhash_found").count() == summary["verified_pairs"]
     pairs = spark.read.parquet(os.path.join(out_dir, "pairs"))
     assert {r["detector"] for r in pairs.select("detector").distinct().collect()} >= {"minhash"}
+
+
+def test_cascade_mode_outputs_and_accounting(spark, tmp_path):
+    out_dir = str(tmp_path / "casc")
+    summary = run_dedup.main(["--output", out_dir, "--mode", "cascade", "--synth", "400"])
+    assert summary["mode"] == "cascade"
+    tiers = summary["tiers"]
+    assert set(tiers) == {"exact", "near"}
+    # accounting: chain of in/out is consistent and covers the corpus
+    assert tiers["exact"]["in"] == summary["docs"]
+    assert tiers["exact"]["out"] == tiers["near"]["in"]
+    for t in tiers.values():
+        assert t["in"] - t["dropped"] == t["out"]
+    status = spark.read.parquet(os.path.join(out_dir, "status"))
+    surv = spark.read.parquet(os.path.join(out_dir, "survivors"))
+    tm = spark.read.parquet(os.path.join(out_dir, "tier_metrics"))
+    assert status.count() == summary["docs"]
+    assert surv.count() == tiers["near"]["out"]
+    assert tm.count() == 2
+    # every canonical names a surviving doc
+    kept = status.where("tier = 'kept'").select("canonical_id")
+    assert status.join(kept, "canonical_id", "left_anti").count() == 0
