@@ -1072,6 +1072,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q83_percentile_stats"] = q83_percentile_stats
 
+    def q84_json_props(spark, sf_dir):
+        # semi-structured metadata extraction (the WARC-header / page-props
+        # shape): from_json with an explicit schema — a typed Catalyst
+        # expression inside the scan, pruned and pushed like any column —
+        # then a plain grouped aggregate over the extracted field
+        ev = _t(spark, sf_dir, "events")
+        k = F.from_json("props", "k int").getField("k")
+        return (
+            ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+
+    q["q84_json_props"] = q84_json_props
+
     return q
 
 
@@ -1851,6 +1871,15 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.99), 6) AS p99,
                min(value) AS vmin,
                max(value) AS vmax
+        FROM events GROUP BY event_type
+    """
+
+    o["q84_json_props"] = """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
     """
 
