@@ -1092,6 +1092,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q84_json_props"] = q84_json_props
 
+    def q85_range_join_sessions(spark, sf_dir):
+        # range join: each event to its containing session interval —
+        # bucketized equi-join (no BroadcastNestedLoop anywhere), exact
+        # half-open containment re-checked after the join. Every event
+        # lands in exactly one of its user's sessions by construction.
+        from nhse_probabilistic_linkage_spark.operators.ranges import range_join
+        from nhse_probabilistic_linkage_spark.streaming.windows import session_stats
+
+        ev = _t(spark, sf_dir, "events")
+        sessions = session_stats(ev, gap="30 minutes").select(
+            "user_id",
+            F.col("session_start").alias("start"),
+            F.col("session_end").alias("end"),
+        )
+        return range_join(
+            ev.select("event_id", "user_id", "ts"),
+            sessions,
+            by=("user_id",),
+            bucket_seconds=1800,
+        ).select("event_id", "user_id", "ts", F.col("start").alias("session_start"))
+
+    q["q85_range_join_sessions"] = q85_range_join_sessions
+
     return q
 
 
@@ -1881,6 +1904,33 @@ def oracle_sql() -> dict[str, str]:
                min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
                max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
+    """
+
+    # sessions rebuilt with the q80 lag/cumsum assignment, then a plain
+    # containment join — DuckDB's optimizer handles the BETWEEN directly
+    o["q85_range_join_sessions"] = """
+        WITH x AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x
+        ),
+        sess AS (
+          SELECT user_id, min(ts) AS session_start,
+                 max(ts) + INTERVAL 30 MINUTE AS session_end
+          FROM s GROUP BY user_id, sid
+        )
+        SELECT e.event_id, e.user_id, e.ts, sess.session_start
+        FROM events e JOIN sess
+          ON e.user_id = sess.user_id
+         AND e.ts >= sess.session_start AND e.ts < sess.session_end
     """
 
     return o
