@@ -35,12 +35,20 @@ def exact_dedup(
     shuffle per row; the window argmin then picks the representative. 64 bits
     alone would silently false-merge ~27k pairs at 10^12 docs (birthday
     bound); at 128 bits the expected collision count is ~3e-15.
+
+    The salt constant is folded BEFORE the text: xxhash64 folds its arguments
+    left-to-right from the fixed seed, so ``xxhash64(key, salt)`` would be a
+    deterministic function of ``xxhash64(key)`` (same accumulator state after
+    the text, salt folded after) and the second half would add zero entropy.
+    ``xxhash64(salt, key)`` hashes the text from a salted accumulator state —
+    a genuinely different hash function of the text, making the two halves
+    collide independently.
     """
     key = F.col(text_col) if normalized else normalize_text(F.col(text_col))
     keyed = df.select(
         F.col(id_col),
         F.xxhash64(key).alias("_fp_a"),
-        F.xxhash64(key, F.lit(0x5F3759DF)).alias("_fp_b"),
+        F.xxhash64(F.lit(0x5F3759DF), key).alias("_fp_b"),
     )
     w = Window.partitionBy("_fp_a", "_fp_b")
     return (

@@ -47,12 +47,16 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    w = F.lit(int(bucket_seconds))
-    p_bucket = F.floor(F.unix_timestamp(F.col(point_col)) / w)
-    i_first = F.floor(F.unix_timestamp(F.col(start_col)) / w)
+    # Bucketize on MICROSECOND epochs: unix_timestamp() truncates fractional
+    # seconds, so an `end` like 10:30:00.000123 would truncate onto the bucket
+    # boundary and the interval's final bucket would never be exploded —
+    # points in [10:30:00, end) would silently miss their interval.
+    w = F.lit(int(bucket_seconds) * 1_000_000)
+    p_bucket = F.floor(F.unix_micros(F.col(point_col)) / w)
+    i_first = F.floor(F.unix_micros(F.col(start_col)) / w)
     # end is exclusive: a zero-length or sub-bucket interval still covers
     # its start bucket, so the sequence is over [first, last_inclusive]
-    i_last = F.floor((F.unix_timestamp(F.col(end_col)) - 1) / w)
+    i_last = F.floor((F.unix_micros(F.col(end_col)) - 1) / w)
     n_buckets = i_last - i_first + 1
 
     guarded = intervals.withColumn("_nb", n_buckets)
@@ -77,9 +81,17 @@ def range_join(
     # columns — cheaper than a true outer join on the exploded side
     matched = tagged_points.join(exploded, [*by, "_bucket"]).where(exact).drop("_bucket")
     icols = [c for c in exploded.columns if c not in (*by, "_bucket")]
+    # null-safe (<=>) anti-join: a USING/equality anti-join would never match
+    # a point row carrying a NULL against itself, emitting it twice (matched
+    # AND unmatched-with-null-intervals)
+    probe = matched.select(*points.columns).distinct().alias("_m")
+    base = points.alias("_p")
+    anti_cond = None
+    for c in points.columns:
+        term = F.col(f"_p.{c}").eqNullSafe(F.col(f"_m.{c}"))
+        anti_cond = term if anti_cond is None else (anti_cond & term)
     unmatched = (
-        tagged_points.drop("_bucket")
-        .join(matched.select(*points.columns).distinct(), list(points.columns), "left_anti")
+        base.join(probe, anti_cond, "left_anti")
         .select("*", *[F.lit(None).cast(exploded.schema[c].dataType).alias(c) for c in icols])
     )
     return matched.unionByName(unmatched)

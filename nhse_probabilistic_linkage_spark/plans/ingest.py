@@ -39,6 +39,7 @@ def ingest_history_records(
     supersession: DataFrame | None = None,
     supersession_old: str = "old_key",
     supersession_new: str = "new_key",
+    supersession_rewrite_cols: tuple[str, ...] = (),
     history_cols: dict[str, list[str] | None] | None = None,
     renames: dict[str, str] | None = None,
     surrogate_from: str | None = None,
@@ -51,8 +52,10 @@ def ingest_history_records(
          pass the POSITIVE "drop this" condition; null never matches, so
          null-flagged rows are kept, same as the reference's isNull escape);
       2. supersession: rows whose id appears as a superseded OLD key are
-         removed (left_anti), then ids elsewhere are rewritten old->new
-         (broadcast lookup-replace);
+         removed (left_anti); columns named in `supersession_rewrite_cols`
+         (cross-references to other records, e.g. "replaced_by" /
+         "linked_key" — NOT the id itself, which the anti-join just
+         filtered) are rewritten old->new via broadcast lookup-replace;
       3. each history col in `history_cols` ({col: fields or None}) explodes
          via explode_history (prefix = "<col>_");
       4. the exploded histories recombine with a multi-way OUTER join on the
@@ -67,7 +70,11 @@ def ingest_history_records(
     if supersession is not None:
         superseded_keys = supersession.select(F.col(supersession_old).alias(id_col))
         cur = cur.join(F.broadcast(superseded_keys), id_col, "left_anti")
-        cur = lookup_replace(cur, supersession, id_col, supersession_old, supersession_new)
+        # rewriting id_col itself would be a no-op (the anti-join above just
+        # removed every row whose id matches an old key), so the rewrite
+        # applies only to caller-named reference columns
+        for ref_col in supersession_rewrite_cols:
+            cur = lookup_replace(cur, supersession, ref_col, supersession_old, supersession_new)
 
     history_cols = history_cols or {}
     if history_cols:

@@ -89,6 +89,20 @@ def touch(spark: SparkSession, path: str) -> None:
     out.close()
 
 
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of a directory (empty list if it does not exist)."""
+    fs, p, _ = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [status.getPath().getName() for status in fs.listStatus(p)]
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, p_src, _ = _fs_and_path(spark, src)
+    _, p_dst, _ = _fs_and_path(spark, dst)
+    return bool(fs.rename(p_src, p_dst))
+
+
 def join(*parts: str) -> str:
     """URI-safe path join (os.path.join would mangle scheme-prefixed paths
     on non-POSIX hosts; Hadoop paths are always '/'-separated)."""

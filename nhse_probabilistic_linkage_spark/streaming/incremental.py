@@ -79,6 +79,72 @@ class IncrementalDedup:
         self.sigs_path = fs.join(state_dir, "sigs")
         self.bands_path = fs.join(state_dir, "bands")
         self.pairs_path = fs.join(state_dir, "pairs")
+        self._layout_checked = False
+
+    # -- legacy-state migration -------------------------------------------------
+    def _tables(self):
+        return (
+            (self.pairs_path, PAIRS_SCHEMA, ["batch_id"]),
+            (self.sigs_path, SIGS_SCHEMA, ["batch_id", "sig_bucket"]),
+            (self.bands_path, BANDS_SCHEMA, ["batch_id", "bucket"]),
+        )
+
+    @staticmethod
+    def _root_data_files(names: list[str]) -> list[str]:
+        # partitioned layout has only batch_id=N/ children (plus _SUCCESS
+        # markers); bare data files at the root are the legacy layout
+        return [n for n in names if not n.startswith(("_", ".")) and "=" not in n]
+
+    def _check_layout(self) -> None:
+        """Fail loudly on a pre-batch_id state dir instead of corrupting it:
+        writing batch_id=N/ partition dirs next to root-level data files
+        breaks parquet partition discovery for every later read."""
+        if self._layout_checked:
+            return
+        for path, _, _ in self._tables():
+            if self._root_data_files(fs.list_names(self.spark, path)):
+                raise RuntimeError(
+                    f"legacy (non-partitioned) streaming state at {path}: "
+                    "this store predates the batch_id/bucket partition layout. "
+                    "Run migrate_legacy_state() once to rewrite it in place, "
+                    "then retry."
+                )
+        self._layout_checked = True
+
+    def migrate_legacy_state(self, legacy_batch_id: int = -1) -> None:
+        """One-time in-place rewrite of a pre-batch_id state dir into the
+        partitioned layout. Legacy rows get batch_id=`legacy_batch_id` (never
+        a real batch id, so batch-exclusion reads always keep them) and the
+        bucket columns are derived exactly as the writer derives them."""
+        for path, schema, parts in self._tables():
+            if not self._root_data_files(fs.list_names(self.spark, path)):
+                continue  # already partitioned (or absent)
+            df = self.spark.read.schema(schema).parquet(path)
+            df = df.withColumn(
+                "batch_id", F.coalesce(F.col("batch_id"), F.lit(legacy_batch_id)).cast("long")
+            )
+            if "sig_bucket" in parts:
+                df = df.withColumn(
+                    "sig_bucket",
+                    F.coalesce(
+                        F.col("sig_bucket"),
+                        F.pmod("doc_id", F.lit(self.n_buckets)).cast("int"),
+                    ),
+                )
+            if "bucket" in parts:
+                df = df.withColumn(
+                    "bucket",
+                    F.coalesce(
+                        F.col("bucket"),
+                        F.pmod("band_key", F.lit(self.n_buckets)).cast("int"),
+                    ),
+                )
+            tmp = path + ".migrating"
+            fs.delete(self.spark, tmp, recursive=True)
+            df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+            fs.delete(self.spark, path, recursive=True)
+            fs.rename(self.spark, tmp, path)
+        self._layout_checked = False
 
     # -- store access ---------------------------------------------------------
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
@@ -127,6 +193,7 @@ class IncrementalDedup:
     # -- the micro-batch body ---------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         cfg = self.config
+        self._check_layout()
         if fs.exists(self.spark, self._commit_marker(batch_id)):
             return  # at-least-once replay of an already-committed batch
         self._scrub_batch(batch_id)
@@ -135,8 +202,12 @@ class IncrementalDedup:
 
         # exclude the current batch_id from all state reads: a crashed prior
         # attempt of THIS batch may have left partial rows that the dynamic
-        # overwrite below is about to replace — they must not count as "seen"
-        not_this_batch = F.col("batch_id") != F.lit(batch_id)
+        # overwrite below is about to replace — they must not count as "seen".
+        # NULL batch_id (a state dir written before the batch_id column
+        # existed) is committed history: coalesce to -1 so the inequality is
+        # TRUE, not NULL — a bare `!=` would silently drop all legacy rows
+        # from the history scans and re-admit previously-seen docs.
+        not_this_batch = F.coalesce(F.col("batch_id"), F.lit(-1)) != F.lit(batch_id)
         old_sigs = self.stored_sigs().where(not_this_batch)
         new = (
             batch.select("doc_id", "text")

@@ -71,10 +71,21 @@ def test_ingest_full_lifecycle(spark):
 
 
 def test_ingest_supersession_rewrites_references(spark):
-    """A record pointing AT a superseded key gets rewritten (the reference's
-    lookup-and-replace on referencing columns, dataset_ingestion_utils.py:
-    87-103) while the superseded record itself is anti-joined away."""
-    df = spark.createDataFrame([(4, "old self"), (9, "refers elsewhere")], "rec_id long, note string")
+    """A record pointing AT a superseded key gets its reference column
+    rewritten (the reference's lookup-and-replace on referencing columns,
+    dataset_ingestion_utils.py:87-103) while the superseded record itself is
+    anti-joined away. The id column is never rewritten — the anti-join
+    already removed every row whose id matched an old key."""
+    df = spark.createDataFrame(
+        [(4, None, "old self"), (9, 4, "points at superseded"), (7, 9, "points at live")],
+        "rec_id long, linked_to long, note string",
+    )
     supersession = spark.createDataFrame([(4, 1)], "old_key long, new_key long")
-    out = ingest_history_records(df, id_col="rec_id", supersession=supersession)
-    assert {(r.rec_id, r.note) for r in out.collect()} == {(9, "refers elsewhere")}
+    out = ingest_history_records(
+        df, id_col="rec_id", supersession=supersession,
+        supersession_rewrite_cols=("linked_to",),
+    )
+    assert {(r.rec_id, r.linked_to) for r in out.collect()} == {(9, 1), (7, 9)}
+    # removal-only when no rewrite columns are named
+    plain = ingest_history_records(df, id_col="rec_id", supersession=supersession)
+    assert {(r.rec_id, r.linked_to) for r in plain.collect()} == {(9, 4), (7, 9)}

@@ -71,6 +71,36 @@ def test_range_join_rejects_pathological_interval(spark):
         range_join(points, wide, bucket_seconds=60, max_buckets_per_interval=1000)
 
 
+def test_range_join_fractional_second_end_on_bucket_boundary(spark):
+    # end = 00:30:00.000123 truncates to the 1800s bucket boundary under
+    # second-resolution bucketing, so the interval's final bucket would never
+    # be exploded and the point at exactly 00:30:00 (inside [start, end))
+    # would silently miss. Microsecond bucketing must find it.
+    end = datetime(2024, 1, 1, 0, 30, 0, 123)
+    points = spark.createDataFrame([(1, datetime(2024, 1, 1, 0, 30, 0))], "pid long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, 0), end, "x")],
+        "start timestamp, end timestamp, tag string",
+    )
+    out = range_join(points, intervals, bucket_seconds=1800).collect()
+    assert [(r.pid, r.tag) for r in out] == [(1, "x")]
+
+
+def test_range_join_left_null_column_not_duplicated(spark, data):
+    # a matched point row carrying a NULL must appear exactly once — a
+    # null-unsafe anti-join would never match it against itself and emit it
+    # again with null interval columns
+    _, intervals = data
+    points = spark.createDataFrame(
+        [(1, "u1", _t(5), None), (3, "u1", _t(90), None)],
+        "pid long, user string, ts timestamp, note string",
+    )
+    rows = range_join(points, intervals, by=("user",), how="left").collect()
+    assert len(rows) == 2
+    by_pid = {r.pid: r for r in rows}
+    assert by_pid[1].tag == "a" and by_pid[3].tag is None
+
+
 def test_range_join_matches_duckdb(spark, data):
     duckdb = pytest.importorskip("duckdb")
     points, intervals = data

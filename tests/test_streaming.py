@@ -73,6 +73,47 @@ def test_redelivery_is_idempotent(spark, corpus, tmp_path_factory):
     assert inc.stored_sigs().count() == n_sigs
 
 
+def test_legacy_state_detected_and_migrated(spark, corpus, tmp_path_factory):
+    """A state dir written before the batch_id/bucket partition layout must
+    (a) be refused loudly — writing batch_id=N/ dirs next to root-level data
+    files corrupts partition discovery — and (b) after migrate_legacy_state()
+    count as committed history, so previously-seen docs are NOT re-admitted
+    (a bare `batch_id != N` filter would evaluate NULL on legacy rows and
+    silently drop the whole prior history)."""
+    import shutil
+
+    state = str(tmp_path_factory.mktemp("state"))
+    inc = IncrementalDedup(spark, state, CFG)
+    half = corpus.limit(200)
+    inc.process_batch(half, 0)
+    n_sigs = inc.stored_sigs().count()
+    n_pairs = inc.verified_pairs().count()
+
+    # flatten the stored state to the legacy layout: no partition dirs, no
+    # batch_id/bucket columns
+    for sub, drop in (("sigs", ["batch_id", "sig_bucket"]), ("bands", ["batch_id", "bucket"]), ("pairs", ["batch_id"])):
+        path = os.path.join(state, sub)
+        tmp = os.path.join(state, f"_legacy_{sub}")
+        spark.read.parquet(path).drop(*drop).write.parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    os.remove(os.path.join(state, "commits", "batch-0"))
+    assert "batch_id" not in spark.read.parquet(os.path.join(state, "sigs")).columns
+
+    fresh = IncrementalDedup(spark, state, CFG)
+    with pytest.raises(RuntimeError, match="legacy"):
+        fresh.process_batch(half, 1)
+
+    fresh.migrate_legacy_state()
+    # redeliver the same docs under a new batch id: all already seen -> the
+    # store must not grow and no new-batch rows may be admitted
+    fresh.process_batch(half, 1)
+    sigs = fresh.stored_sigs()
+    assert sigs.count() == n_sigs
+    assert sigs.where(F.col("batch_id") == 1).count() == 0
+    assert fresh.verified_pairs().count() == n_pairs
+
+
 def test_readstream_available_now(spark, corpus, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("src"))
     state = str(tmp_path_factory.mktemp("state"))
