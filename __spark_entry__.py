@@ -260,12 +260,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- windows (SURVEY §2.5)
     def q20_top3_orders_per_customer(spark, sf_dir):
+        # row_number rank-filter AND analytic max over the same partition
+        # (the get_best_match shape, reference utils/model_utils.py:218-236):
+        # one window pass covers SURVEY §2.5 rows 28 and 29
         o = _t(spark, sf_dir, "orders")
         w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        wp = Window.partitionBy("o_custkey")
         return (
             o.withColumn("rank", F.row_number().over(w))
+            .withColumn("max_price", F.max("o_totalprice").over(wp))
             .filter(F.col("rank") <= 3)
-            .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"), "rank")
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+                "rank",
+                F.col("max_price").cast("decimal(18,2)").cast("double").alias("max_price"),
+                (F.col("o_totalprice") == F.col("max_price")).alias("is_best"),
+            )
         )
 
     q["q20_top3_orders_per_customer"] = q20_top3_orders_per_customer
@@ -301,20 +313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q22_latest_event_per_user"] = q22_latest_event_per_user
 
-    def q23_max_over_partition(spark, sf_dir):
-        # analytic max + filter-to-max (get_best_match shape,
-        # reference utils/model_utils.py:218-236)
-        li = _t(spark, sf_dir, "lineitem")
-        w = Window.partitionBy("l_orderkey")
-        return (
-            li.withColumn("max_price", F.max("l_extendedprice").over(w))
-            .filter(F.col("l_extendedprice") == F.col("max_price"))
-            .groupBy("l_orderkey")
-            .agg(F.min("l_linenumber").alias("best_line"), F.count("*").alias("n_ties"))
-        )
-
-    q["q23_max_over_partition"] = q23_max_over_partition
-
     def q15_full_outer_backfill(spark, sf_dir):
         # full-outer join + coalesce backfill — the reference's
         # match_probabilities_output shape (utils/model_utils.py:176-186):
@@ -333,24 +331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q15_full_outer_backfill"] = q15_full_outer_backfill
-
-    def q16_sql_text_api(spark, sf_dir):
-        # spark.sql over registered views — the reference drives Splink
-        # entirely through SQL text (SURVEY §2.1 spark.sql sites)
-        _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-        _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
-        return spark.sql(
-            """
-            SELECT c_mktsegment,
-                   count(*) AS n_orders,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price
-            FROM v_orders JOIN v_customer ON o_custkey = c_custkey
-            WHERE o_orderstatus <> 'P'
-            GROUP BY c_mktsegment
-            """
-        )
-
-    q["q16_sql_text_api"] = q16_sql_text_api
 
     def q24_growing_frame_accumulate(spark, sf_dir):
         # growing-frame collect_list — the reference's close-match NHS-number
@@ -371,27 +351,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q24_growing_frame_accumulate"] = q24_growing_frame_accumulate
 
-    # ---- set ops / sort-limit / conditional agg (SURVEY §2.6, §2.7)
-    def q30_union_distinct_nations(spark, sf_dir):
-        c = _t(spark, sf_dir, "customer")
-        s = _t(spark, sf_dir, "supplier")
-        return (
-            c.select(F.col("c_nationkey").alias("nationkey"))
-            .union(s.select(F.col("s_nationkey").alias("nationkey")))
-            .distinct()
+    # ---- set ops / sort-limit / SQL-text API / conditional agg (§2.1, §2.6, §2.7)
+    def q30_union_topk_sql(spark, sf_dir):
+        # one query, three SURVEY rows: the spark.sql TEXT api over
+        # registered views (§2.1 — the reference drives Splink entirely
+        # through SQL text), union-distinct (§2.7), and global sort+limit /
+        # TakeOrdered (§2.6)
+        _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+        _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+        return spark.sql(
+            """
+            SELECT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM v_customer
+                UNION
+                SELECT s_nationkey AS nationkey FROM v_supplier
+            )
+            ORDER BY nationkey DESC LIMIT 20
+            """
         )
 
-    q["q30_union_distinct_nations"] = q30_union_distinct_nations
-
-    def q31_top20_orders(spark, sf_dir):
-        o = _t(spark, sf_dir, "orders")
-        return (
-            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-            .limit(20)
-            .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"))
-        )
-
-    q["q31_top20_orders"] = q31_top20_orders
+    q["q30_union_topk_sql"] = q30_union_topk_sql
 
     def q32_conditional_agg_single_pass(spark, sf_dir):
         # the single-pass confusion-matrix pattern replacing the reference's
@@ -684,10 +663,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q57_substring_pairs"] = q57_substring_pairs
 
     def q55_simhash_pairs(spark, sf_dir):
+        # the PAIR SET is hash-dependent (not SQL-reproducible), so the
+        # contract is violation counts that hold for ANY correct simhash
+        # detector — oracle SELECTs constants. n_bad_hamming: every emitted
+        # pair's hamming must sit in [0, max_hamming]; n_bad_order: pairs are
+        # canonical (id_l < id_r); n_dup_rows: one row per pair. The HARD
+        # correctness (no low-jaccard pairs, no missed identical-text pairs)
+        # lives in q58_simhash_sanity.
         docs = _t(spark, sf_dir, "documents")
-        return simhash_pairs(docs, DedupConfig()).select("id_l", "id_r", "hamming")
+        cfg = DedupConfig()
+        sh = simhash_pairs(docs, cfg).localCheckpoint(eager=True)
+        bad_h = F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("hamming") < 0) | (F.col("hamming") > cfg.simhash_max_hamming), 1
+                )
+            ),
+            F.lit(0),
+        )
+        bad_o = F.coalesce(F.sum(F.when(F.col("id_l") >= F.col("id_r"), 1)), F.lit(0))
+        stats = sh.agg(
+            bad_h.cast("long").alias("n_bad_hamming"),
+            bad_o.cast("long").alias("n_bad_order"),
+            (F.count("*") - F.countDistinct("id_l", "id_r")).cast("long").alias("n_dup_rows"),
+        )
+        return stats
 
-    q["q55_simhash_pairs"] = q55_simhash_pairs  # rows-only (hash-dependent)
+    q["q55_simhash_pairs"] = q55_simhash_pairs
 
     def q56_minhash_signatures(spark, sf_dir):
         # signature invariants the oracle CAN check: every signature is
@@ -1115,7 +1117,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q85_range_join_sessions"] = q85_range_join_sessions
 
-    return q
+    def q86_multimodal_decode(spark, sf_dir):
+        # multimodal binary plumbing with an ANALYTIC oracle: payloads are
+        # synthesized deterministically from doc_id (ASCII magic prefix +
+        # rpad body, so DuckDB can rebuild the exact same bytes), then probed
+        # natively (functions/multimodal.py probe_binary), decoded via the
+        # mapInPandas harness (decode_media; sha256-derived fake decoder ->
+        # SQL-reproducible dims), and featurized (extract_features; contract:
+        # fixed width, all-finite). Covers the binary->metadata->feature path
+        # end to end with every value checked against DuckDB.
+        from nhse_probabilistic_linkage_spark.functions.multimodal import (
+            decode_media,
+            extract_features,
+            probe_binary,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        magic = (
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("GIF8"))
+            .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("RIFF"))
+            .otherwise(F.lit("<htm"))
+        )
+        body = F.rpad(F.col("doc_id").cast("string"), 80, "x")
+        payloads = docs.select(
+            "doc_id", F.encode(F.concat(magic, body), "UTF-8").alias("payload")
+        )
+        probed = probe_binary(payloads).localCheckpoint(eager=True)
+        meta = decode_media(probed)
+        feats = extract_features(probed).select(
+            "doc_id",
+            F.size("features").alias("feat_len"),
+            F.aggregate(
+                "features",
+                F.lit(True),
+                lambda acc, x: acc & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))),
+            ).alias("feat_finite"),
+        )
+        return (
+            probed.select("doc_id", "payload_bytes")
+            .join(meta.select("doc_id", "media_type", "width", "height",
+                              "duration_ms", "n_frames", "ok"), "doc_id")
+            .join(feats, "doc_id")
+        )
+
+    q["q86_multimodal_decode"] = q86_multimodal_decode
+
+    # ------------------------------------------------------------------
+    # registration order IS the driver contract: the correctness harness
+    # records the first 50 entries, so the first 50 are curated to keep a
+    # recorded row for every SURVEY §2 row and every first-class
+    # training-data operator. Entries after position 50 are redundant-by-
+    # coverage (their SURVEY rows are also exercised by a recorded query);
+    # they remain fully functional and oracle-checked by tools/check_oracle.
+    # ------------------------------------------------------------------
+    priority = [
+        # dedup north-star detectors + clustering
+        "q50_exact_dedup", "q51_ngram_jaccard_pairs", "q52_minhash_lsh_pairs",
+        "q53_cc_clusters", "q54_best_match", "q55_simhash_pairs",
+        "q57_substring_pairs", "q58_simhash_sanity", "q59_similarity_buckets",
+        "q60_embedding_neardup", "q61_ann_topk", "q63_embedding_lsh_recall",
+        # training-data / corpus-hygiene suite
+        "q70_textstats", "q71_lang_id", "q72_fingerprint_cardinality",
+        "q73_url_canonical", "q74_repetition_filters", "q75_decontaminate",
+        "q76_pii_redact", "q77_token_chunking", "q78_tiered_dedup",
+        "q39_domain_quota", "q86_multimodal_decode",
+        # custom temporal/nested operators
+        "q79_windowed_event_stats", "q80_session_stats", "q81_asof_enrich",
+        "q82_time_rollup", "q83_percentile_stats", "q84_json_props",
+        "q85_range_join_sessions",
+        # relational coverage (one recorded query per SURVEY §2 row)
+        "q02_filter_project_case", "q03_join3_revenue",
+        "q10_customers_without_orders", "q11_customers_with_f_orders",
+        "q13_null_handling", "q15_full_outer_backfill",
+        "q17_lookup_replace_enrich", "q20_top3_orders_per_customer",
+        "q24_growing_frame_accumulate", "q30_union_topk_sql",
+        "q32_conditional_agg_single_pass", "q34_hash_bucket_sample",
+        "q35_pair_sample", "q36_micro_filters", "q37_threshold_confusion",
+        "q40_string_functions", "q41_explode_embedding_stats",
+        "q43_explode_outer_window_prune", "q44_nested_history",
+        "q45_agreement_vectors",
+    ]
+    assert len(priority) == 50 and len(set(priority)) == 50
+    missing = [name for name in priority if name not in q]
+    assert not missing, f"priority list names unknown queries: {missing}"
+    return {name: q[name] for name in priority} | {
+        name: fn for name, fn in q.items() if name not in priority
+    }
 
 
 # --------------------------------------------------------------------------
@@ -1212,14 +1299,6 @@ def oracle_sql() -> dict[str, str]:
           ON cn.c_nationkey = sn.s_nationkey
     """
 
-    o["q16_sql_text_api"] = """
-        SELECT c_mktsegment, count(*) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        WHERE o_orderstatus <> 'P'
-        GROUP BY c_mktsegment
-    """
-
     o["q24_growing_frame_accumulate"] = """
         SELECT event_id, user_id,
                array_to_string(list(event_type) OVER w, ',') AS type_trail,
@@ -1236,10 +1315,13 @@ def oracle_sql() -> dict[str, str]:
     o["q20_top3_orders_per_customer"] = """
         SELECT o_custkey, o_orderkey,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
-               rank
+               rank,
+               CAST(CAST(max_price AS DECIMAL(18,2)) AS DOUBLE) AS max_price,
+               o_totalprice = max_price AS is_best
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
-                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
+                   max(o_totalprice) OVER (PARTITION BY o_custkey) AS max_price
             FROM orders
         ) WHERE rank <= 3
     """
@@ -1260,24 +1342,13 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn = 1
     """
 
-    o["q23_max_over_partition"] = """
-        SELECT l_orderkey, min(l_linenumber) AS best_line, count(*) AS n_ties
-        FROM (
-            SELECT *, max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS max_price
-            FROM lineitem
-        ) WHERE l_extendedprice = max_price
-        GROUP BY l_orderkey
-    """
-
-    o["q30_union_distinct_nations"] = """
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION
-        SELECT s_nationkey AS nationkey FROM supplier
-    """
-
-    o["q31_top20_orders"] = """
-        SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
-        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    o["q30_union_topk_sql"] = """
+        SELECT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        ORDER BY nationkey DESC LIMIT 20
     """
 
     o["q32_conditional_agg_single_pass"] = """
@@ -1931,6 +2002,50 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN sess
           ON e.user_id = sess.user_id
          AND e.ts >= sess.session_start AND e.ts < sess.session_end
+    """
+
+    # q55: the simhash pair SET is hash-dependent, but the contract columns
+    # are constant-truth for any correct detector (violations must be zero)
+    o["q55_simhash_pairs"] = """
+        SELECT CAST(0 AS BIGINT) AS n_bad_hamming,
+               CAST(0 AS BIGINT) AS n_bad_order,
+               CAST(0 AS BIGINT) AS n_dup_rows
+    """
+
+    # q86: payloads are ASCII (magic || rpad(doc_id)) so DuckDB rebuilds the
+    # exact bytes; the fake decoder derives dims from sha256(payload), which
+    # SQL reproduces via hex-digit extraction of the same digest
+    o["q86_multimodal_decode"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'GIF8' WHEN 1 THEN 'RIFF' ELSE '<htm' END AS magic,
+                 rpad(CAST(doc_id AS VARCHAR), 80, 'x') AS body
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, magic,
+                 length(magic || body) AS payload_bytes,
+                 sha256(magic || body) AS hx
+          FROM p
+        ),
+        b AS (
+          SELECT doc_id, magic, payload_bytes,
+                 [16*(strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)
+                   + strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1
+                  for i in range(0, 5)] AS bs
+          FROM h
+        )
+        SELECT doc_id,
+               CASE magic WHEN 'GIF8' THEN 'image' WHEN 'RIFF' THEN 'audio' ELSE 'html' END AS media_type,
+               CAST(payload_bytes AS INT) AS payload_bytes,
+               CAST(64 + bs[1]*8 AS INT) AS width,
+               CAST(64 + bs[2]*8 AS INT) AS height,
+               CAST(bs[3] + 256*bs[4] AS INT) AS duration_ms,
+               CAST(1 + bs[5] % 32 AS INT) AS n_frames,
+               TRUE AS ok,
+               CAST(32 AS INT) AS feat_len,
+               TRUE AS feat_finite
+        FROM b
     """
 
     return o

@@ -52,11 +52,19 @@ def range_join(
     # boundary and the interval's final bucket would never be exploded —
     # points in [10:30:00, end) would silently miss their interval.
     w = F.lit(int(bucket_seconds) * 1_000_000)
-    p_bucket = F.floor(F.unix_micros(F.col(point_col)) / w)
-    i_first = F.floor(F.unix_micros(F.col(start_col)) / w)
+    # cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ (which
+    # session_window/window aggregations emit); the cast interprets NTZ in
+    # the session timezone — the same conversion Spark applies when the
+    # exact predicate below compares NTZ and LTZ columns, so buckets and
+    # predicate stay consistent
+    def _micros(col_name: str):
+        return F.unix_micros(F.col(col_name).cast("timestamp"))
+
+    p_bucket = F.floor(_micros(point_col) / w)
+    i_first = F.floor(_micros(start_col) / w)
     # end is exclusive: a zero-length or sub-bucket interval still covers
     # its start bucket, so the sequence is over [first, last_inclusive]
-    i_last = F.floor((F.unix_micros(F.col(end_col)) - 1) / w)
+    i_last = F.floor((_micros(end_col) - 1) / w)
     n_buckets = i_last - i_first + 1
 
     guarded = intervals.withColumn("_nb", n_buckets)
