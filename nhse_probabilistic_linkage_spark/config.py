@@ -59,6 +59,19 @@ class DedupConfig:
     # Close-match window for canonical-doc election (reference analog:
     # CLOSE_MATCHES_THRESHOLD=5, /root/reference/parameters_dedupe.py:23-24).
     close_match_window: float = 0.05
+    # MinHash-estimate pre-gate for the exact-Jaccard verify join: drop
+    # candidate pairs whose signature-agreement estimate falls below
+    # jaccard_threshold - verify_estimate_band BEFORE the wide shingle
+    # arrays are shuffled/intersected. The estimate's std at 128 perms is
+    # sqrt(J(1-J)/128) <= 0.045, so a 0.15 band is >3 sigma: the chance a
+    # true >=threshold pair is gated away is ~1e-4 per pair. Survivors
+    # still get EXACT jaccard — output values are unchanged. Worth it when
+    # shingle sets are much larger than the signature (real web pages,
+    # ~1000+ shingles); a net loss for short-doc corpora (the 128-element
+    # signature compare costs more than a 76-element intersect), hence off
+    # by default.
+    verify_estimate_gate: bool = False
+    verify_estimate_band: float = 0.15
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

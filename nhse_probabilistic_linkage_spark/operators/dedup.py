@@ -85,7 +85,12 @@ def minhash_lsh_pairs(
     cands, dropped = candidate_pairs(bands, id_col=id_col, band_cap=config.band_cap,
                                      salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
     verified = verify_pairs(
-        cands, docs, id_col=id_col, threshold=config.jaccard_threshold
+        cands,
+        docs,
+        id_col=id_col,
+        threshold=config.jaccard_threshold,
+        minhash_col="minhash" if config.verify_estimate_gate else None,
+        estimate_band=config.verify_estimate_band,
     )
     return verified, dropped
 

@@ -196,8 +196,23 @@ class DedupPipeline:
                 StageMetric("pairs.dropped_bands", n_dropped, 0.0, {"band_cap": cfg.band_cap})
             )
 
+        # optional MinHash-estimate gate (DedupConfig.verify_estimate_gate):
+        # clearly-below pairs are rejected on the 128-long signatures and
+        # never shuffle their shingle arrays; survivors get exact jaccard
+        verify_docs = prepared
+        minhash_col = None
+        if cfg.verify_estimate_gate:
+            verify_docs = prepared.join(signatures.select(self.id_col, "minhash"), self.id_col)
+            minhash_col = "minhash"
         verified = self._materialize(
-            verify_pairs(pairs, prepared, id_col=self.id_col, threshold=cfg.jaccard_threshold),
+            verify_pairs(
+                pairs,
+                verify_docs,
+                id_col=self.id_col,
+                threshold=cfg.jaccard_threshold,
+                minhash_col=minhash_col,
+                estimate_band=cfg.verify_estimate_band,
+            ),
             "verified",
             manifest,
         )

@@ -145,6 +145,22 @@ def test_pipeline_checkpoint_resume(spark, corpus, tmp_path):
     assert clusters3 == clusters1
 
 
+def test_verify_estimate_gate_preserves_pairs(spark, corpus):
+    """The MinHash-estimate pre-gate must not change the verified output:
+    survivors get EXACT jaccard, and the 0.15 decision band puts a true
+    >=threshold pair below the gate only with ~1e-4 probability per pair —
+    zero on this corpus. Identical (pair, score) sets, gate on vs off."""
+    from nhse_probabilistic_linkage_spark.operators.dedup import minhash_lsh_pairs
+
+    pages, _ = corpus
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    base, _ = minhash_lsh_pairs(docs, DedupConfig())
+    gated, _ = minhash_lsh_pairs(docs, DedupConfig(verify_estimate_gate=True))
+    rows_base = sorted((r.id_l, r.id_r, round(r.jaccard, 9)) for r in base.collect())
+    rows_gated = sorted((r.id_l, r.id_r, round(r.jaccard, 9)) for r in gated.collect())
+    assert rows_base == rows_gated and len(rows_base) > 0
+
+
 def test_pairs_identical_across_parallelism(spark, corpus):
     """North-rule determinism: the verified pair set (and scores) must be
     identical whatever the input partitioning — the same property the
