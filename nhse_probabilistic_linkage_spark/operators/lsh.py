@@ -8,10 +8,12 @@ candidates iff some band of their MinHash signatures hashes identically, and
 `match_key` records the first band that fired.
 
 Scale notes (the parts Catalyst cannot do for us):
-- The band table is shuffled ONCE: groupBy(band_key) collects member lists,
-  then size routing (singleton prune / cap / salt) and pair generation all
-  read the grouped result — see candidate_pairs for the measured comparison
-  against the histogram + self-join formulation it replaced.
+- The band table is shuffled ONCE: a count(*) window over band_key sizes
+  every band inside the same exchange (spillable, so mega-bands cost disk
+  not heap), size routing (singleton prune / cap / salt) happens BEFORE any
+  list aggregation, and only cold bands are ever collect_list'ed — see
+  candidate_pairs for the structural memory bound and the measured
+  comparison against the histogram + self-join formulation it replaced.
 - Pathological bands (boilerplate pages that hash identically in some band)
   would generate O(size^2) pairs. Those are removed by an explicit band-size
   cap, with the dropped mass counted and returned — documented recall
@@ -124,17 +126,18 @@ def candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Band table -> unique candidate pairs (id_l < id_r, match_key).
 
-    ONE shuffle of the band table: groupBy(band_key) collects each band's
-    member list (map-side partial aggregation), and size routing, the cap,
-    and pair generation all run over the grouped result. This replaced the
+    ONE shuffle of the band table: a count(*) window over band_key sizes
+    every band in the same exchange, size routing filters rows BEFORE any
+    aggregation, and cold-band pair generation is a groupBy over the
+    already-partitioned rows (no second exchange). This evolved from the
     round-1 design (size histogram shuffle + semi-join + band self-join =
-    three scans and two full exchanges of the band table) after an
-    interleaved A/B at 240k docs / local[4] measured it ~35% faster with an
+    three scans and two full exchanges of the band table), which an
+    interleaved A/B at 240k docs / local[4] measured ~35% slower with an
     identical pair set (100,071 pairs both ways).
 
     Singleton bands — the overwhelming majority once signatures are
-    selective (measured 94.7% of keys at 240k docs) — die in the size(ids)
-    >= 2 filter without ever reaching a join.
+    selective (measured 94.7% of keys at 240k docs) — die in the _bsize
+    >= 2 filter without ever being cached, aggregated, or joined.
 
     Skew handling, in escalating order (north-rule requirement — "skew from
     hot LSH bands handled explicitly via salted band keys [and] band-size
@@ -149,47 +152,65 @@ def candidate_pairs(
       size > band_cap          dropped entirely, returned in the accounting
                                table (band_key, band_size) — NEVER silent.
 
-    Scale caveat, documented not hidden: the aggregation buffers one id list
-    per band, so a pathological mega-band of 10M members builds an ~80 MB
-    list on one reducer before the cap drops it. Upstream exact-dedup (the
-    pipeline's prepare stage collapses identical texts) bounds this in
-    practice; if a corpus can ship mega-bands straight into LSH, cap the
-    fanout earlier (prefilter) rather than here.
+    Memory bound, structural: band sizes come from count(*) over a window on
+    the SAME band_key partitioning (WindowExec buffers each band in a
+    SPILLABLE row array — a 10M-member band costs disk, never heap), and
+    rows are routed by size BEFORE any list aggregation: singletons and
+    over-cap bands never reach the agg, hot bands feed the salted join
+    directly from exploded rows, and only cold bands (size <=
+    salt_threshold) are ever collect_list'ed — so the unspillable agg
+    buffer is capped at min(salt_threshold, band_cap) ids BY CONSTRUCTION,
+    regardless of input. (With both caps disabled the bound disappears —
+    the caller explicitly asked for unbounded bands.)
 
     persist_bands is retained for API compatibility and ignored: the grouped
     design scans the band table exactly once, so there is nothing to reuse.
     """
     del persist_bands  # single-scan design; see docstring
+    from pyspark.sql import Window
+
     spark = bands_df.sparkSession
-    size = F.size("ids")
-    grouped = (
-        bands_df.groupBy("band_key")
-        .agg(F.min("band_id").alias("band_id"), F.collect_list(id_col).alias("ids"))
-        .where(size >= 2)
-        # scanned by the cold/hot pair job and the dropped-accounting job
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    bsize = F.col("_bsize")
+    sized = bands_df.withColumn("_bsize", F.count("*").over(Window.partitionBy("band_key")))
+    # singletons (the overwhelming majority — measured 94.7% of keys at 240k
+    # docs) die HERE, before the persist and before any aggregation; only
+    # multi-member band rows are cached, and the cache keeps the window's
+    # hash(band_key) partitioning so the groupBys below add no exchange
+    multi = sized.where(bsize >= 2).persist(StorageLevel.MEMORY_AND_DISK)
+
     if band_cap is not None:
-        dropped = grouped.where(size > band_cap).select(
-            "band_key", size.cast("long").alias("band_size")
+        dropped = (
+            multi.where(bsize > band_cap)
+            .groupBy("band_key")
+            .agg(F.first("_bsize").cast("long").alias("band_size"))
         )
-        upper = size <= band_cap
+        cap_ok = bsize <= band_cap
     else:
         dropped = spark.createDataFrame([], "band_key bigint, band_size bigint")
-        upper = F.lit(True)
+        cap_ok = F.lit(True)
 
     if salt_threshold is not None:
-        raw = _combination_pairs(grouped.where(upper & (size <= salt_threshold))).unionByName(
+        cold = (
+            multi.where(cap_ok & (bsize <= salt_threshold))
+            .groupBy("band_key")
+            .agg(F.min("band_id").alias("band_id"), F.collect_list(id_col).alias("ids"))
+        )
+        raw = _combination_pairs(cold).unionByName(
             _salted_self_join_pairs(
-                grouped.where(upper & (size > salt_threshold)).select(
-                    "band_key", "band_id", F.explode("ids").alias(id_col)
+                multi.where(cap_ok & (bsize > salt_threshold)).select(
+                    "band_key", "band_id", F.col(id_col)
                 ),
                 id_col,
                 salt_groups,
             ).select("band_id", "id_l", "id_r")
         )
     else:
-        raw = _combination_pairs(grouped.where(upper))
+        grouped = (
+            multi.where(cap_ok)
+            .groupBy("band_key")
+            .agg(F.min("band_id").alias("band_id"), F.collect_list(id_col).alias("ids"))
+        )
+        raw = _combination_pairs(grouped)
 
     # Materialize the (narrow) pair table eagerly, then release the grouped
     # table: every downstream consumer (verify's semi-join + join, counts,
@@ -203,5 +224,5 @@ def candidate_pairs(
         .localCheckpoint(eager=True)
     )
     dropped = dropped.localCheckpoint(eager=True)  # tiny by construction
-    grouped.unpersist()
+    multi.unpersist()
     return pairs, dropped

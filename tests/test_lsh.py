@@ -81,3 +81,25 @@ def test_simhash_pigeonhole_finds_near_dups(spark):
     got = {(r.id_l, r.id_r): r.hamming for r in ver.collect()}
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert (1, 3) not in got
+
+
+def test_mixed_band_sizes_route_correctly(spark):
+    """One input containing a cold band (combination explode), a hot band
+    (salted self-join), and a mega band (> cap, dropped): the router must
+    produce exactly the cold+hot pair sets and account the mega band with
+    its true size — no cross-talk between branches."""
+    import itertools
+
+    rows = (
+        [(i, 0, 100) for i in range(3)]  # cold: 3 members <= salt_threshold
+        + [(10 + i, 1, 200) for i in range(6)]  # hot: salted path
+        + [(100 + i, 2, 300) for i in range(12)]  # mega: over band_cap
+    )
+    bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key long")
+    pairs, dropped = candidate_pairs(bands, band_cap=10, salt_threshold=4, salt_groups=3)
+    got = {(r.id_l, r.id_r) for r in pairs.collect()}
+    want = set(itertools.combinations(range(3), 2)) | set(
+        itertools.combinations(range(10, 16), 2)
+    )
+    assert got == want
+    assert [(r.band_key, r.band_size) for r in dropped.collect()] == [(300, 12)]
