@@ -119,18 +119,51 @@ def duplicate_line_ratio(text: Column | str) -> Column:
     )
 
 
-def top_token_ratio(text: Column | str | None = None, *, tokens: Column | None = None) -> Column:
+# Hard token cap for the O(n·distinct) top-token scan: the ratio is computed
+# over the first TOP_TOKEN_MAX_TOKENS tokens. Page-sized docs are far below
+# it (no behavior change); a book-sized outlier costs a bounded prefix scan
+# instead of a quadratic stall — same policy as DedupConfig.substr_max_chars.
+TOP_TOKEN_MAX_TOKENS = 10_000
+
+
+def _bind_once(col: Column, f) -> Column:
+    """Evaluate `col` exactly once and expose it to `f` as a lambda variable.
+
+    Inside nested higher-order functions, a non-lambda-variable child
+    expression is RE-EVALUATED on every outer iteration — so e.g. a filter
+    over `tokenize(text)` nested in a transform re-runs the whole
+    normalize+regexp+split pipeline per outer element (measured: a 2k-token
+    doc went from sub-second to minutes). Wrapping the expression in a
+    1-element array and transform binds it to a lambda variable, which inner
+    lambdas capture by reference."""
+    return F.transform(F.array(col), f)[0]
+
+
+def top_token_ratio(
+    text: Column | str | None = None,
+    *,
+    tokens: Column | None = None,
+    max_tokens: int | None = TOP_TOKEN_MAX_TOKENS,
+) -> Column:
     """Frequency of the most common token over all tokens (Gopher's
     "fraction of most common word" rule). Computed natively: count each
     DISTINCT token's occurrences with a filter lambda — O(n·distinct) per
-    row, fine for page-sized documents (cap text upstream for pathological
-    inputs, same policy as the substring detector)."""
+    row. The function enforces its own token cap (`max_tokens`, None
+    disables): the scan never exceeds O(cap·distinct(cap)) however large
+    the document."""
     toks = tokens if tokens is not None else tokenize(text)
-    dist = F.array_distinct(toks)
-    counts = F.transform(dist, lambda d: F.size(F.filter(toks, lambda t: t == d)))
-    return F.when(
-        F.size(toks) > 0, F.array_max(counts).cast("double") / F.size(toks)
-    ).otherwise(F.lit(0.0))
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+
+    def ratio(t: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
+        )
+        return F.when(
+            F.size(t) > 0, F.array_max(counts).cast("double") / F.size(t)
+        ).otherwise(F.lit(0.0))
+
+    return _bind_once(toks, ratio)
 
 
 def repetition_flags(
@@ -139,11 +172,12 @@ def repetition_flags(
     max_top_token_ratio: float = 0.2,
     *,
     tokens: Column | None = None,
+    max_tokens: int | None = TOP_TOKEN_MAX_TOKENS,
 ) -> Column:
     """True when the document passes the repetition filters (Gopher-style
     thresholds; both signals are native expressions)."""
     return (duplicate_line_ratio(text) <= max_dup_line_ratio) & (
-        top_token_ratio(text, tokens=tokens) <= max_top_token_ratio
+        top_token_ratio(text, tokens=tokens, max_tokens=max_tokens) <= max_top_token_ratio
     )
 
 

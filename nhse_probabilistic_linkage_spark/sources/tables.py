@@ -17,6 +17,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nhse_probabilistic_linkage_spark.sources import fs
+
 
 def _has_catalog(spark: SparkSession, catalog: str) -> bool:
     try:
@@ -34,7 +36,10 @@ class TableIO:
         self.catalog = catalog if catalog and _has_catalog(spark, catalog) else None
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        # fs.join, not os.path.join: the warehouse may be a scheme-prefixed
+        # URI (s3a://..., hdfs://..., file:/...) that os.path would mangle
+        # on non-POSIX hosts and that only the Hadoop FS client can probe
+        return fs.join(self.warehouse, name)
 
     def read(self, name: str) -> DataFrame:
         if self.catalog:
@@ -57,10 +62,12 @@ class TableIO:
     def exists(self, name: str) -> bool:
         if self.catalog:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        # probe through the Hadoop FS API: os.path.isdir/os.listdir only see
+        # the driver's local disk, so with warehouse=s3a://... and no Iceberg
+        # catalog they would silently answer "absent" for every table
         p = self._path(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
-        )
+        names = fs.list_names(self.spark, p)
+        return any(n.endswith(".parquet") or n == "_SUCCESS" for n in names)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

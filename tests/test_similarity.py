@@ -74,6 +74,17 @@ def test_tableio_roundtrip(spark, vectors, tmp_path):
     assert io.read("vecs").count() == 5
 
 
+def test_tableio_scheme_prefixed_warehouse(spark, vectors, tmp_path):
+    """The parquet fallback must work on scheme-prefixed URIs: path probing
+    goes through the Hadoop FS client (os.path would only see the driver's
+    local disk and mangle the scheme)."""
+    io = TableIO(spark, warehouse=f"file:{tmp_path}")
+    io.write(vectors.select("vec_id"), "vecs")
+    assert io.exists("vecs")
+    assert not io.exists("missing")
+    assert io.read("vecs").count() == vectors.count()
+
+
 def test_suggest_n_centroids_scaling():
     from nhse_probabilistic_linkage_spark.operators.similarity import suggest_n_centroids
 

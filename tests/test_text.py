@@ -126,3 +126,27 @@ def test_repetition_signals(spark):
     assert got[3][1] == round(5 / 9, 4)      # 'spam' 5 of 9 tokens
     assert got[3][2] is False                # fails top-token filter
     assert got[4] == (0.0, 0.0, True)
+
+
+def test_top_token_ratio_caps_pathological_doc(spark):
+    """A book-sized doc with ~200k distinct tokens would cost O(n*distinct)
+    ~4e10 comparisons uncapped; the in-function token cap bounds the scan to
+    the first 10k tokens, so this completes in seconds and the ratio is
+    computed over the capped prefix (all-distinct -> 1/10000)."""
+    import time
+
+    df = spark.range(1).select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(199_999)),
+                lambda i: F.concat(F.lit("tok"), i.cast("string")),
+            ),
+        ).alias("text")
+    )
+    from nhse_probabilistic_linkage_spark.functions.textstats import top_token_ratio
+
+    t0 = time.monotonic()
+    r = df.select(top_token_ratio("text").alias("ttr")).collect()[0]
+    assert time.monotonic() - t0 < 60
+    assert abs(r.ttr - 1.0 / 10_000) < 1e-9
