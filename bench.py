@@ -63,6 +63,49 @@ def run_dedup_synth(spark, n_docs: int) -> dict:
     }
 
 
+def run_cascade_synth(spark, n_docs: int) -> dict:
+    """The deployment shape: tiered exact -> near -> semantic cascade
+    (plans/tiers.py) over the same synthetic corpus, with per-tier wall
+    seconds and drop accounting."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from nhse_probabilistic_linkage_spark.functions.text import tokenize
+    from nhse_probabilistic_linkage_spark.plans.tiers import tiered_dedup
+
+    pages, _truth = synth_pages(spark, n_docs, seed=42)
+    docs = (
+        pages.select(F.xxhash64("url").alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    # deterministic stand-in embeddings: a hash-derived pseudo-random unit
+    # direction per 30-token PREFIX of the doc. Docs sharing a long prefix
+    # (tail-edited near-dups) get identical vectors -> semantic drops with
+    # realistic selectivity; unrelated docs get independent directions ->
+    # cosine far below threshold. (A byte-histogram feature would NOT work
+    # here: English letter frequencies make every doc near-collinear and the
+    # tier degenerates to all-pairs.)
+    prefix = F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 30))
+    emb = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (F.pmod(F.xxhash64(prefix, i), F.lit(2001)) - 1000).cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    t0 = time.monotonic()
+    out = tiered_dedup(docs, DedupConfig(), embeddings=emb, cosine_threshold=0.98)
+    n_kept = out["status"].where("tier = 'kept'").count()
+    elapsed = time.monotonic() - t0
+    return {
+        "seconds": elapsed,
+        "docs": n_docs,
+        "docs_per_sec": n_docs / elapsed,
+        "kept": n_kept,
+        "tier_seconds": {m.tier: round(m.seconds, 2) for m in out["metrics"]},
+        "tier_dropped": {m.tier: m.n_dropped for m in out["metrics"]},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -127,6 +170,10 @@ def main() -> None:
 
     synth = run_dedup_synth(spark, synth_docs)
     timings["dedup_pipeline_synth"] = round(synth["seconds"], 3)
+    spark.catalog.clearCache()
+
+    cascade = run_cascade_synth(spark, synth_docs)
+    timings["dedup_cascade_synth"] = round(cascade["seconds"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -140,6 +187,13 @@ def main() -> None:
             "docs_per_sec": round(synth["docs_per_sec"], 1),
             "clusters": synth["clusters"],
             "stage_seconds": synth["stage_seconds"],
+        },
+        "dedup_cascade": {
+            "docs": cascade["docs"],
+            "docs_per_sec": round(cascade["docs_per_sec"], 1),
+            "kept": cascade["kept"],
+            "tier_seconds": cascade["tier_seconds"],
+            "tier_dropped": cascade["tier_dropped"],
         },
         "cpus": cpus,
     }

@@ -50,6 +50,7 @@ class TierMetric:
     n_in: int
     n_dropped: int
     n_out: int
+    seconds: float = 0.0
 
 
 def _cluster_drops(ids: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
@@ -89,9 +90,12 @@ def tiered_dedup(
     passed; docs without a vector pass through it untouched (a missing
     embedding must not silently delete a document).
     """
+    import time
+
     ids0 = docs.select(F.col(id_col).cast("long").alias(id_col)).localCheckpoint(eager=True)
     n0 = ids0.count()
     metrics: list[TierMetric] = []
+    t_tier = time.monotonic()
 
     # ---- tier 1: exact (128-bit fingerprint groupBy) ----------------------
     groups = exact_dedup(docs, id_col=id_col, text_col=text_col)
@@ -102,7 +106,9 @@ def tiered_dedup(
     )
     surv1 = ids0.join(exact_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
     n1 = surv1.count()
-    metrics.append(TierMetric("exact", n0, n0 - n1, n1))
+    # tier walls are meaningful: each tier ends in eager checkpoints + count
+    metrics.append(TierMetric("exact", n0, n0 - n1, n1, time.monotonic() - t_tier))
+    t_tier = time.monotonic()
 
     # ---- tier 2: near (MinHash LSH + exact-Jaccard verify) ----------------
     docs1 = docs.join(surv1, id_col, "left_semi")
@@ -112,7 +118,8 @@ def tiered_dedup(
     ).localCheckpoint(eager=True)
     surv2 = surv1.join(near_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
     n2 = surv2.count()
-    metrics.append(TierMetric("near", n1, n1 - n2, n2))
+    metrics.append(TierMetric("near", n1, n1 - n2, n2, time.monotonic() - t_tier))
+    t_tier = time.monotonic()
 
     # ---- tier 3: semantic (embedding cosine), optional --------------------
     if embeddings is not None:
@@ -134,7 +141,7 @@ def tiered_dedup(
         ).localCheckpoint(eager=True)
         surv3 = surv2.join(sem_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
         n3 = surv3.count()
-        metrics.append(TierMetric("semantic", n2, n2 - n3, n3))
+        metrics.append(TierMetric("semantic", n2, n2 - n3, n3, time.monotonic() - t_tier))
     else:
         sem_drops = None
         surv3 = surv2
@@ -180,6 +187,6 @@ def tiered_dedup(
 def metrics_df(spark, metrics: list[TierMetric]) -> DataFrame:
     """Per-tier accounting as a DataFrame (for writing next to the output)."""
     return spark.createDataFrame(
-        [(m.tier, m.n_in, m.n_dropped, m.n_out) for m in metrics],
-        "tier string, n_in long, n_dropped long, n_out long",
+        [(m.tier, m.n_in, m.n_dropped, m.n_out, round(m.seconds, 3)) for m in metrics],
+        "tier string, n_in long, n_dropped long, n_out long, seconds double",
     )

@@ -54,7 +54,7 @@ def test_two_tier_cascade(spark, corpus):
     for t in out["metrics"]:
         assert t.n_in - t.n_dropped == t.n_out
     mdf = metrics_df(spark, out["metrics"])
-    assert mdf.count() == 2 and set(mdf.columns) == {"tier", "n_in", "n_dropped", "n_out"}
+    assert mdf.count() == 2 and set(mdf.columns) == {"tier", "n_in", "n_dropped", "n_out", "seconds"}
 
 
 def test_semantic_tier_and_chain_resolution(spark, corpus):
