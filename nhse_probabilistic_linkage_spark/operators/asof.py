@@ -17,10 +17,12 @@ set, matches older than the tolerance are nulled out — the row is kept,
 like a left join, so downstream accounting still sees every left row.
 
 Skew note: the shuffle key is `by`; a single hot key (one user with 10^8
-events) serializes into one task's sort. At that shape, pre-bucket the hot
-keys by coarse time range and as-of join within buckets, carrying the
-previous bucket's last right row as a seed row — same operator, applied per
-bucket.
+events) serializes into one task's sort. `asof_join_bucketed` below is the
+mitigation: pre-bucket both sides by coarse time range so the shuffle key
+becomes (by, bucket), and seed each bucket with the previous buckets' last
+right row (computed by running the same as-of over the tiny per-bucket
+summary table) — identical output, hot-key work spread across
+timeline/bucket_seconds tasks.
 
 Reference analog: the reference's event-history alignment joins records to
 the latest preceding demographic snapshot via window ranking
@@ -105,3 +107,85 @@ def asof_join(
         F.when(keep, F.col("_m.t")).alias(f"{prefix}{on}"),
         *[F.when(keep, F.col(f"_m.{c}")).alias(f"{prefix}{c}") for c in value_cols],
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = (),
+    value_cols: tuple[str, ...] | None = None,
+    tolerance: str | None = None,
+    prefix: str = "asof_",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """asof_join with hot-key mitigation: identical output, but the window
+    shuffle key is (by, time-bucket) instead of `by`, so a single hot key's
+    sort is spread over timeline/bucket_seconds tasks instead of one.
+
+    Mechanics: both sides are bucketed by floor(epoch/W); a left row whose
+    match lives in an EARLIER bucket finds it via a seed row — the latest
+    right row of all preceding buckets, computed by running the same as-of
+    operator over the per-(by, bucket) summary table (one row per key per
+    bucket, so that inner pass is small and skew-free by construction) and
+    injected into the bucket with its original timestamp/values. Tie rule,
+    tolerance, and NULL semantics are inherited from asof_join.
+    """
+    if value_cols is None:
+        value_cols = tuple(c for c in right.columns if c not in (*by, on))
+    w_us = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def bucket_of(col: str) -> F.Column:
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / w_us)
+
+    lb = left.withColumn("_bucket", bucket_of(on))
+    rb = right.select(*by, on, *value_cols).withColumn("_bucket", bucket_of(on))
+
+    # latest right row per (by, bucket) — same tie rule as the main pass:
+    # greatest (t, xxhash64(values)) wins
+    rstruct = F.struct(F.col(on).alias("t"), *[F.col(c) for c in value_cols])
+    rn_w = (
+        Window.partitionBy(*by, "_bucket")
+        .orderBy(F.col(on).desc(), F.xxhash64(rstruct).desc())
+    )
+    bucket_last = (
+        rb.withColumn("_rn", F.row_number().over(rn_w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+
+    # seed lookup: for each left bucket B, the latest right row of any bucket
+    # < B. This is ITSELF an as-of join, run over the tiny summary tables
+    # (one row per key per occupied bucket) keyed on bucket number — the
+    # right summary's effective bucket is shifted +1 so only strictly earlier
+    # buckets match (rows within B are handled by the main pass directly).
+    left_buckets = lb.select(*by, "_bucket").distinct()
+    seeds_src = bucket_last.withColumn("_bucket", F.col("_bucket") + 1)
+    matched = asof_join(
+        left_buckets,
+        seeds_src,
+        on="_bucket",
+        by=by,
+        value_cols=(on, *value_cols),
+        prefix="_seed_",
+    )
+    seeds = (
+        matched.where(F.col(f"_seed_{on}").isNotNull())
+        .select(
+            *by,
+            F.col(f"_seed_{on}").alias(on),
+            *[F.col(f"_seed_{c}").alias(c) for c in value_cols],
+            "_bucket",
+        )
+    )
+
+    out = asof_join(
+        lb,
+        rb.unionByName(seeds),
+        on=on,
+        by=(*by, "_bucket"),
+        value_cols=value_cols,
+        tolerance=tolerance,
+        prefix=prefix,
+    )
+    return out.drop("_bucket")

@@ -138,3 +138,48 @@ def test_session_stats_batch(spark):
     s0 = out[0]
     assert s0["session_start"] == _t(0)
     assert s0["session_end"] == _t(50)  # last event 00:20 + 30m gap
+
+
+def test_asof_bucketed_equals_plain(spark, trades_quotes):
+    """The hot-key mitigation must be a pure physical rewrite: identical
+    output to asof_join for every bucket width, including cross-bucket
+    matches (trade 5 matches a quote ~3 buckets earlier at 60s buckets),
+    equal-timestamp ties, no-match rows, and tolerance nulling."""
+    from nhse_probabilistic_linkage_spark.operators.asof import asof_join_bucketed
+
+    trades, quotes = trades_quotes
+    for tol in (None, "30 minutes"):
+        want = sorted(
+            tuple(r) for r in asof_join(trades, quotes, on="ts", by=("sym",), tolerance=tol).collect()
+        )
+        for bucket_seconds in (60, 600, 86400):
+            got = sorted(
+                tuple(r)
+                for r in asof_join_bucketed(
+                    trades, quotes, on="ts", by=("sym",), tolerance=tol,
+                    bucket_seconds=bucket_seconds,
+                ).collect()
+            )
+            assert got == want, (tol, bucket_seconds)
+
+
+def test_asof_bucketed_randomized(spark):
+    """Property check on a bigger random instance: bucketed == plain."""
+    from nhse_probabilistic_linkage_spark.operators.asof import asof_join_bucketed
+
+    left = spark.range(500).select(
+        F.col("id").alias("lid"),
+        F.pmod("id", F.lit(3)).alias("k"),
+        F.timestamp_seconds(F.pmod(F.xxhash64("id"), F.lit(100_000))).alias("ts"),
+    )
+    right = spark.range(200).select(
+        F.pmod("id", F.lit(3)).alias("k"),
+        F.timestamp_seconds(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100_000))).alias("ts"),
+        (F.col("id") * 2).alias("v"),
+    )
+    want = sorted(tuple(r) for r in asof_join(left, right, on="ts", by=("k",)).collect())
+    got = sorted(
+        tuple(r)
+        for r in asof_join_bucketed(left, right, on="ts", by=("k",), bucket_seconds=3600).collect()
+    )
+    assert got == want and len(want) == 500
