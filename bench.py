@@ -84,11 +84,14 @@ def run_cascade_synth(spark, n_docs: int) -> dict:
     # cosine far below threshold. (A byte-histogram feature would NOT work
     # here: English letter frequencies make every doc near-collinear and the
     # tier degenerates to all-pairs.)
+    # 32 dims, not fewer: random 16-dim unit vectors clear cosine 0.98 by
+    # chance at ~5e-5/pair (3.9 sigma), which at 40k docs is tens of
+    # thousands of spurious candidates; at 32 dims the tail is ~2e-8/pair
     prefix = F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 30))
     emb = docs.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
+            F.sequence(F.lit(1), F.lit(32)),
             lambda i: (F.pmod(F.xxhash64(prefix, i), F.lit(2001)) - 1000).cast("double") / 1000.0,
         ).alias("embedding"),
     )

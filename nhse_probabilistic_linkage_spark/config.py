@@ -68,10 +68,13 @@ class DedupConfig:
     # still get EXACT jaccard — output values are unchanged. Worth it when
     # shingle sets are much larger than the signature (real web pages,
     # ~1000+ shingles); a net loss for short-doc corpora (the 128-element
-    # signature compare costs more than a 76-element intersect), hence off
-    # by default.
-    verify_estimate_gate: bool = False
+    # signature compare costs more than a 76-element intersect). None =
+    # decide adaptively where corpus stats are available (DedupPipeline
+    # turns it on when mean shingles/doc >= verify_gate_min_avg_shingles;
+    # bare operator calls treat None as off).
+    verify_estimate_gate: bool | None = None
     verify_estimate_band: float = 0.15
+    verify_gate_min_avg_shingles: int = 256
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

@@ -196,12 +196,29 @@ class DedupPipeline:
                 StageMetric("pairs.dropped_bands", n_dropped, 0.0, {"band_cap": cfg.band_cap})
             )
 
-        # optional MinHash-estimate gate (DedupConfig.verify_estimate_gate):
-        # clearly-below pairs are rejected on the 128-long signatures and
-        # never shuffle their shingle arrays; survivors get exact jaccard
+        # MinHash-estimate gate (DedupConfig.verify_estimate_gate): clearly-
+        # below pairs are rejected on the 128-long signatures and never
+        # shuffle their shingle arrays; survivors get exact jaccard. With
+        # the default None the decision is ADAPTIVE: one cheap columnar agg
+        # over the checkpointed prepare stage measures mean shingles/doc,
+        # and the gate turns on only where the shingle arrays dwarf the
+        # signature (real web pages) — short-doc corpora skip the extra
+        # signature join that would cost more than it saves.
+        gate = cfg.verify_estimate_gate
+        if gate is None and self.checkpoint_dir and "verified" in manifest["done"]:
+            gate = False  # stage resumes from its checkpoint; decision moot
+        if gate is None:
+            avg_sh = prepared.agg(F.avg("n_shingles")).collect()[0][0] or 0.0
+            gate = avg_sh >= cfg.verify_gate_min_avg_shingles
+            self.metrics.append(
+                StageMetric(
+                    "verified.estimate_gate", int(gate), 0.0,
+                    {"avg_shingles": round(float(avg_sh), 1), "auto": True},
+                )
+            )
         verify_docs = prepared
         minhash_col = None
-        if cfg.verify_estimate_gate:
+        if gate:
             verify_docs = prepared.join(signatures.select(self.id_col, "minhash"), self.id_col)
             minhash_col = "minhash"
         verified = self._materialize(

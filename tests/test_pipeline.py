@@ -161,6 +161,23 @@ def test_verify_estimate_gate_preserves_pairs(spark, corpus):
     assert rows_base == rows_gated and len(rows_base) > 0
 
 
+def test_verify_gate_auto_decision(spark, corpus):
+    """Default config decides the gate adaptively: the synth corpus's short
+    docs (mean ~76 shingles << 256) must keep it OFF, the decision must be
+    recorded in the metrics, and forcing it ON must not change clusters."""
+    pages, _ = corpus
+    p_auto = DedupPipeline(spark, DedupConfig())
+    out_auto = p_auto.run(pages)
+    gate_rows = [m for m in p_auto.metrics if m.stage == "verified.estimate_gate"]
+    assert len(gate_rows) == 1 and gate_rows[0].rows == 0
+    assert 0 < gate_rows[0].extra["avg_shingles"] < 256
+
+    out_on = DedupPipeline(spark, DedupConfig(verify_estimate_gate=True)).run(pages)
+    a = sorted((r.doc_id, r.cluster_id) for r in out_auto["clusters"].collect())
+    b = sorted((r.doc_id, r.cluster_id) for r in out_on["clusters"].collect())
+    assert a == b
+
+
 def test_pairs_identical_across_parallelism(spark, corpus):
     """North-rule determinism: the verified pair set (and scores) must be
     identical whatever the input partitioning — the same property the
