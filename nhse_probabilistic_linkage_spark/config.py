@@ -66,15 +66,17 @@ class DedupConfig:
     # sqrt(J(1-J)/128) <= 0.045, so a 0.15 band is >3 sigma: the chance a
     # true >=threshold pair is gated away is ~1e-4 per pair. Survivors
     # still get EXACT jaccard — output values are unchanged. Worth it when
-    # shingle sets are much larger than the signature (real web pages,
-    # ~1000+ shingles); a net loss for short-doc corpora (the 128-element
-    # signature compare costs more than a 76-element intersect). None =
-    # decide adaptively where corpus stats are available (DedupPipeline
-    # turns it on when mean shingles/doc >= verify_gate_min_avg_shingles;
-    # bare operator calls treat None as off).
+    # shingle sets are MUCH larger than the signature. Measured (local[8],
+    # controlled-jaccard variant corpora, identical pair sets): at ~1,300
+    # shingles/doc the gate is neutral-to-slower (the two extra signature
+    # joins cost more than the skipped intersects — the arithmetic-union
+    # exact path is already one intersect per pair); at ~4,850 shingles/doc
+    # it wins ~10%. None = decide adaptively where corpus stats are
+    # available (DedupPipeline turns it on when mean shingles/doc >=
+    # verify_gate_min_avg_shingles; bare operator calls treat None as off).
     verify_estimate_gate: bool | None = None
     verify_estimate_band: float = 0.15
-    verify_gate_min_avg_shingles: int = 256
+    verify_gate_min_avg_shingles: int = 4096
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
