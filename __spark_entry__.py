@@ -1162,6 +1162,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q86_multimodal_decode"] = q86_multimodal_decode
 
+    def q87_token_shard_packing(spark, sf_dir):
+        # training-export shard packing (functions/packing.py): rows hash to
+        # independent writers, a running token sum assigns fixed-budget
+        # shards by start offset — one shuffle + one window, no driver loop.
+        # Affine writer/order keys so DuckDB replays the exact packing.
+        from nhse_probabilistic_linkage_spark.functions.packing import pack_token_shards
+        from nhse_probabilistic_linkage_spark.functions.sampling import affine_bucket_expr
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        out = pack_token_shards(
+            docs,
+            tokens_col="n_tokens",
+            shard_tokens=4096,
+            writers=4,
+            order_expr=affine_bucket_expr("doc_id", 1 << 20, 48271, 11),
+            writer_expr=affine_bucket_expr("doc_id", 4),
+        )
+        return out.select(
+            "doc_id", "n_tokens", "writer_id", "shard_seq", "shard_pos", "shard_offset"
+        )
+
+    q["q87_token_shard_packing"] = q87_token_shard_packing
+
     # ------------------------------------------------------------------
     # registration order IS the driver contract: the correctness harness
     # records the first 50 entries, so the first 50 are curated to keep a
@@ -2010,6 +2035,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(0 AS BIGINT) AS n_bad_hamming,
                CAST(0 AS BIGINT) AS n_bad_order,
                CAST(0 AS BIGINT) AS n_dup_rows
+    """
+
+    # q87: affine writer/order keys make the packing bit-reproducible in SQL
+    _w_sql = affine_bucket_sql("doc_id", 4)
+    _ord_sql = affine_bucket_sql("doc_id", 1 << 20, 48271, 11)
+    o["q87_token_shard_packing"] = f"""
+        WITH d AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 CAST({_w_sql} AS INT) AS writer_id,
+                 {_ord_sql} AS ord
+          FROM documents
+        ),
+        c AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY writer_id ORDER BY ord ASC, doc_id ASC
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+          FROM d
+        )
+        SELECT doc_id, n_tokens, writer_id,
+               CAST(floor(start / 4096.0) AS INT) AS shard_seq,
+               CAST(row_number() OVER (PARTITION BY writer_id, floor(start / 4096.0)
+                                       ORDER BY ord ASC, doc_id ASC) AS INT) AS shard_pos,
+               CAST(start - CAST(floor(start / 4096.0) AS BIGINT) * 4096 AS BIGINT) AS shard_offset
+        FROM c
     """
 
     # q86: payloads are ASCII (magic || rpad(doc_id)) so DuckDB rebuilds the

@@ -1,0 +1,105 @@
+"""Token-budget shard packing for training-data export.
+
+The last mile of a corpus pipeline: deduplicated/filtered documents (or the
+chunks from functions.chunking) must land in fixed token-budget shards —
+files a trainer streams sequentially — in pseudo-random order, with every
+row assigned to exactly one shard and per-shard token totals bounded.
+
+Spark-first formulation: greedy bin packing is inherently sequential, so a
+single global packer would serialize the corpus through one task. Instead
+rows hash-partition across `writers` independent packers (the same move a
+multi-writer export makes anyway), and WITHIN each writer a running token
+sum over one window pass assigns shards by start offset:
+
+    shard_seq = floor((cumsum - n_tokens) / shard_tokens)
+
+i.e. a row starts a new shard when its start offset crosses a budget
+boundary. Per-shard totals are bounded by shard_tokens + max_row_tokens - 1
+(the classic next-fit guarantee); rows larger than the budget get a shard
+of their own. One shuffle (by writer), one sort, all codegen — no Python,
+no driver loop, and writers scale with the cluster while each writer's sort
+spills rather than OOMs.
+
+Determinism: both the writer assignment and the within-writer order are
+pure functions of a stable key (xxhash64 by default, or any caller-supplied
+SQL-replayable expression — see sampling.affine_bucket_expr for the oracle
+pattern), so the packing is identical across runs, partitionings, and
+resume/retry — the same policy as every sampler in functions.sampling.
+
+Reference analog: the reference exports its selected training records via
+rand(seed)-ordered writes (select_training_data_dedupe.py:58-65); this is
+that idea made deterministic and budget-aware.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_token_shards(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    shard_tokens: int = 1 << 22,
+    writers: int | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    order_expr: Column | None = None,
+    writer_expr: Column | None = None,
+) -> DataFrame:
+    """Assign every row to a fixed token-budget shard.
+
+    Output: input columns + (writer_id, shard_seq, shard_pos, shard_offset):
+      writer_id     which independent packer the row hashed to, [0, writers)
+      shard_seq     the writer's shard number (0, 1, ...)
+      shard_pos     1-based position of the row within its shard
+      shard_offset  token offset of the row's start within the shard
+
+    A (writer_id, shard_seq) pair names one shard file; per-shard token
+    totals are <= shard_tokens + max(row tokens) - 1 (next-fit by offset: a
+    row too big for the remaining budget still STARTS in the current shard;
+    shards never split rows).
+
+    `order_expr` / `writer_expr` override the pseudo-random within-writer
+    order and the writer assignment (defaults: xxhash64 of the id); pass
+    ANSI-SQL-replayable expressions (e.g. sampling.affine_bucket_expr) when
+    the packing must be reproduced by an external SQL engine.
+    """
+    if writers is None:
+        writers = df.sparkSession.sparkContext.defaultParallelism
+    n_tok = F.col(tokens_col).cast("long")
+    order_key = (
+        order_expr if order_expr is not None else F.xxhash64(F.col(id_col), F.lit(seed))
+    )
+    writer_key = (
+        writer_expr
+        if writer_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed ^ 0x517C)), F.lit(writers))
+    )
+    tagged = df.withColumn("writer_id", writer_key.cast("int")).withColumn("_ord", order_key)
+    # one window pass: running token sum in the writer's deterministic order
+    # (id_col tiebreak makes the order total, so cumsum is reproducible)
+    w = (
+        Window.partitionBy("writer_id")
+        .orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    out = tagged.withColumn("_start", cum - n_tok).withColumn(
+        "shard_seq", F.floor(F.col("_start") / F.lit(shard_tokens)).cast("int")
+    )
+    # position/offset within the shard reuse the SAME (writer) partitioning —
+    # the second window adds no exchange, only a re-sort Catalyst elides
+    # (identical partition + identical prefix ordering)
+    ws = (
+        Window.partitionBy("writer_id", "shard_seq")
+        .orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        out.withColumn("shard_pos", F.count("*").over(ws).cast("int"))
+        .withColumn(
+            "shard_offset", (F.col("_start") - F.col("shard_seq").cast("long") * F.lit(shard_tokens)).cast("long")
+        )
+        .drop("_ord", "_start")
+    )
