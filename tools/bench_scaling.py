@@ -41,7 +41,7 @@ cpus = {cpus}
 spark = get_spark(app_name="scaling", master=f"local[{{cpus}}]", shuffle_partitions=max(4, 2*cpus))
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(10000).selectExpr("count(xxhash64(id))").collect()
-pages, _ = synth_pages(spark, {n_docs}, seed=42, partitions=64)
+pages, _ = synth_pages(spark, {n_docs}, seed=42, partitions=64, min_tokens={min_tokens}, max_tokens={max_tokens})
 pages = pages.select("url", "text").localCheckpoint(eager=True)
 t0 = time.monotonic()
 out = DedupPipeline(spark, DedupConfig()).run(pages)
@@ -52,44 +52,53 @@ spark.stop()
 """
 
 
-def run_at(cpus: int, n_docs: int, repeats: int = 3) -> dict:
-    """Best-of-N runs: the sandbox is a shared microVM whose host noise
-    (CPU steal spikes) can inflate a run several-fold; the minimum wall time
-    is the faithful estimate of the engine's cost at each parallelism."""
-    best = None
-    times = []
+def run_once(cpus: int, n_docs: int, min_tokens: int, max_tokens: int) -> dict:
     env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")  # equal heap per run
+    code = _CHILD.format(repo=REPO, cpus=cpus, n_docs=n_docs,
+                         min_tokens=min_tokens, max_tokens=max_tokens)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, env=env
+    )
+    result = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            result = json.loads(line[len("RESULT "):])
+    if result is None:
+        raise RuntimeError(f"no RESULT from local[{cpus}]: {proc.stderr[-2000:]}")
+    return result
+
+
+def run_pair(n: int, n_docs: int, repeats: int, min_tokens: int, max_tokens: int):
+    """INTERLEAVED best-of-N: host noise arrives in episodic windows, so the
+    two parallelism levels alternate run-for-run (A,B,A,B,...) — a noise
+    burst then lands on both sides instead of one. Best (min) wall per side
+    is the faithful cost estimate."""
+    lo = {"all_runs_seconds": []}
+    hi = {"all_runs_seconds": []}
     for _ in range(repeats):
-        code = _CHILD.format(repo=REPO, cpus=cpus, n_docs=n_docs)
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, env=env
-        )
-        result = None
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                result = json.loads(line[len("RESULT "):])
-        if result is None:
-            raise RuntimeError(f"no RESULT from local[{cpus}]: {proc.stderr[-2000:]}")
-        times.append(round(result["seconds"], 2))
-        if best is None or result["seconds"] < best["seconds"]:
-            best = result
-    best["all_runs_seconds"] = times
-    return best
+        for cpus, slot in ((n, lo), (4 * n, hi)):
+            r = run_once(cpus, n_docs, min_tokens, max_tokens)
+            slot["all_runs_seconds"].append(round(r["seconds"], 2))
+            if "seconds" not in slot or r["seconds"] < slot["seconds"]:
+                slot.update({k: v for k, v in r.items()})
+    return lo, hi
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    lo = run_at(n, n_docs, repeats)
-    hi = run_at(4 * n, n_docs, repeats)
+    min_tokens = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+    max_tokens = int(sys.argv[5]) if len(sys.argv) > 5 else 120
+    lo, hi = run_pair(n, n_docs, repeats, min_tokens, max_tokens)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4
     print(json.dumps({
         "protocol": (
             f"identical job at local[{n}] and local[{4*n}], same input, equal 16g heap, "
-            f"best of {repeats} (host-noise robust)"
+            f"interleaved best of {repeats} (host-noise robust)"
         ),
         "n_docs": n_docs,
+        "tokens_per_doc": [min_tokens, max_tokens],
         f"local[{n}]": {"seconds": round(lo["seconds"], 2), "docs_per_sec": round(lo["docs_per_sec"], 1),
                         "all_runs_seconds": lo["all_runs_seconds"]},
         f"local[{4*n}]": {"seconds": round(hi["seconds"], 2), "docs_per_sec": round(hi["docs_per_sec"], 1),
