@@ -58,11 +58,17 @@ class DedupPipeline:
         config: DedupConfig | None = None,
         checkpoint_dir: str | None = None,
         id_col: str = "doc_id",
+        compute_simhash: bool = False,
     ):
         self.spark = spark
         self.config = config or DedupConfig()
         self.checkpoint_dir = checkpoint_dir
         self.id_col = id_col
+        # the MinHash detector never reads simhash, and the standalone
+        # simhash detector (operators.dedup.simhash_pairs) computes its own —
+        # so the second Arrow kernel (~40% of the signatures stage) runs only
+        # when a caller explicitly wants the column persisted for reuse
+        self.compute_simhash = compute_simhash
         self.metrics: list[StageMetric] = []
         # per-partition lineage counters: (run_id, stage, partition_id, rows)
         # -- the reference logs models/metrics to a Delta table
@@ -82,15 +88,20 @@ class DedupPipeline:
     def _manifest_path(self) -> str | None:
         return fs.join(self.checkpoint_dir, "manifest.json") if self.checkpoint_dir else None
 
+    def _pinned_config(self) -> str:
+        # compute_simhash changes the signatures checkpoint's schema, so it
+        # is part of the resume contract alongside the detector config
+        return self.config.to_json() + f"|simhash={self.compute_simhash}"
+
     def _load_manifest(self, input_fingerprint: str) -> dict:
-        fresh = {"config": self.config.to_json(), "input": input_fingerprint, "done": []}
+        fresh = {"config": self._pinned_config(), "input": input_fingerprint, "done": []}
         p = self._manifest_path()
         if p:
             raw = fs.read_text(self.spark, p)
             if raw is not None:
                 m = json.loads(raw)
                 # config OR input changed -> stale checkpoints must not be reused
-                if m.get("config") != self.config.to_json() or m.get("input") != input_fingerprint:
+                if m.get("config") != self._pinned_config() or m.get("input") != input_fingerprint:
                     return fresh
                 return m
         return fresh
@@ -172,13 +183,12 @@ class DedupPipeline:
             manifest,
         )
 
-        signatures = self._materialize(
-            with_simhash(
-                with_minhash(prepared, num_perms=cfg.num_perms, seed=cfg.minhash_seed)
-            ).select(self.id_col, "minhash", "simhash"),
-            "signatures",
-            manifest,
-        )
+        sig_df = with_minhash(prepared, num_perms=cfg.num_perms, seed=cfg.minhash_seed)
+        sig_cols = [self.id_col, "minhash"]
+        if self.compute_simhash:
+            sig_df = with_simhash(sig_df)
+            sig_cols.append("simhash")
+        signatures = self._materialize(sig_df.select(*sig_cols), "signatures", manifest)
 
         bands = band_keys(
             signatures, id_col=self.id_col, bands=cfg.bands, rows_per_band=cfg.rows_per_band
