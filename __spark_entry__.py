@@ -1780,9 +1780,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # ttr mirrors the engine's in-function 10k-token cap (textstats
+    # TOP_TOKEN_MAX_TOKENS): the ratio is computed over the first 10k tokens
+    # on BOTH sides, so a book-sized doc cannot diverge engine vs oracle
     o["q74_repetition_filters"] = f"""
         WITH t AS (
-          SELECT doc_id, {_toks} AS toks,
+          SELECT doc_id, ({_toks})[1:10000] AS toks,
                  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                              l -> l <> '') AS lines
           FROM documents

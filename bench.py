@@ -87,12 +87,16 @@ def run_cascade_synth(spark, n_docs: int) -> dict:
     # 32 dims, not fewer: random 16-dim unit vectors clear cosine 0.98 by
     # chance at ~5e-5/pair (3.9 sigma), which at 40k docs is tens of
     # thousands of spurious candidates; at 32 dims the tail is ~2e-8/pair
-    prefix = F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 30))
-    emb = docs.select(
+    # materialize the prefix BEFORE the transform: a non-lambda-variable
+    # child inside a HOF is re-evaluated per output element (the
+    # textstats._bind_once trap) — inline, tokenize would run 32x per row
+    emb = docs.withColumn(
+        "_prefix", F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 30))
+    ).select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(1), F.lit(32)),
-            lambda i: (F.pmod(F.xxhash64(prefix, i), F.lit(2001)) - 1000).cast("double") / 1000.0,
+            lambda i: (F.pmod(F.xxhash64(F.col("_prefix"), i), F.lit(2001)) - 1000).cast("double") / 1000.0,
         ).alias("embedding"),
     )
     t0 = time.monotonic()

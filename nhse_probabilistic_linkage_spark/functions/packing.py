@@ -17,8 +17,10 @@ i.e. a row starts a new shard when its start offset crosses a budget
 boundary. Per-shard totals are bounded by shard_tokens + max_row_tokens - 1
 (the classic next-fit guarantee); rows larger than the budget get a shard
 of their own. One shuffle (by writer), one sort, all codegen — no Python,
-no driver loop, and writers scale with the cluster while each writer's sort
-spills rather than OOMs.
+no driver loop; each writer's sort spills rather than OOMs. The writer
+count is a CONFIG value (not the live cluster's parallelism): it shapes the
+deterministic output, so it must be pinned per export — raise it for bigger
+corpora the same way shard_tokens is chosen, not per cluster.
 
 Determinism: both the writer assignment and the within-writer order are
 pure functions of a stable key (xxhash64 by default, or any caller-supplied
@@ -64,9 +66,15 @@ def pack_token_shards(
     order and the writer assignment (defaults: xxhash64 of the id); pass
     ANSI-SQL-replayable expressions (e.g. sampling.affine_bucket_expr) when
     the packing must be reproduced by an external SQL engine.
+
+    `writers` defaults to a FIXED constant, not the cluster's parallelism:
+    writer assignment is part of the deterministic output (shard membership,
+    order, offsets), so a retry on a different-sized cluster must not
+    repack differently. Set it explicitly — once, as part of the export's
+    config — to scale packing parallelism with the job.
     """
     if writers is None:
-        writers = df.sparkSession.sparkContext.defaultParallelism
+        writers = 64
     n_tok = F.col(tokens_col).cast("long")
     order_key = (
         order_expr if order_expr is not None else F.xxhash64(F.col(id_col), F.lit(seed))

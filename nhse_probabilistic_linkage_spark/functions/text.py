@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 NORMALIZE_PATTERN = r"[^\p{L}\p{N}]+"
 NORMALIZE_VERSION = 1
 
+# Version of the shingle HASH REPRESENTATION. v1 hashed joined k-gram
+# strings; v2 hashes the k-long window of token hashes (same set semantics,
+# different hash values). Any store that persists shingle/minhash/band
+# values (streaming state, pipeline checkpoints pin config instead) must
+# record this and refuse to mix versions — values from different versions
+# never collide, so a silent mix would simply stop finding duplicates.
+SHINGLE_HASH_VERSION = 2
+
 
 def normalize_text(col: Column | str) -> Column:
     """Deterministic text canonicalization (lowercase, strip punctuation,

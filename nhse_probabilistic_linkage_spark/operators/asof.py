@@ -136,7 +136,16 @@ def asof_join_bucketed(
     w_us = F.lit(int(bucket_seconds) * 1_000_000)
 
     def bucket_of(col: str) -> F.Column:
-        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / w_us)
+        # NULL timestamps sort FIRST in asof_join's window (asc nulls
+        # first), i.e. they behave as "before everything" — route them to an
+        # extreme low bucket so the bucketed rewrite preserves that: a NULL
+        # right row seeds all later buckets, a NULL left row sees only NULL
+        # right rows. A bare floor() would group them under a NULL bucket
+        # key that matches nothing.
+        return F.coalesce(
+            F.floor(F.unix_micros(F.col(col).cast("timestamp")) / w_us),
+            F.lit(-(1 << 62)),
+        )
 
     lb = left.withColumn("_bucket", bucket_of(on))
     rb = right.select(*by, on, *value_cols).withColumn("_bucket", bucket_of(on))
@@ -160,17 +169,23 @@ def asof_join_bucketed(
     # right summary's effective bucket is shifted +1 so only strictly earlier
     # buckets match (rows within B are handled by the main pass directly).
     left_buckets = lb.select(*by, "_bucket").distinct()
-    seeds_src = bucket_last.withColumn("_bucket", F.col("_bucket") + 1)
+    # _present distinguishes "no earlier bucket had a right row" from a
+    # legitimate seed whose timestamp/value IS NULL — filtering on the
+    # seed's timestamp would drop NULL-ts right rows that plain asof_join
+    # happily attaches
+    seeds_src = bucket_last.withColumn("_bucket", F.col("_bucket") + 1).withColumn(
+        "_present", F.lit(1)
+    )
     matched = asof_join(
         left_buckets,
         seeds_src,
         on="_bucket",
         by=by,
-        value_cols=(on, *value_cols),
+        value_cols=(on, *value_cols, "_present"),
         prefix="_seed_",
     )
     seeds = (
-        matched.where(F.col(f"_seed_{on}").isNotNull())
+        matched.where(F.col("_seed__present").isNotNull())
         .select(
             *by,
             F.col(f"_seed_{on}").alias(on),

@@ -99,6 +99,11 @@ def verify_pairs(
             .withColumn("_est", est)
             .filter(F.col("_est") >= F.lit(threshold - estimate_band))
             .drop("_sig_l", "_sig_r", "_est")
+            # eager cut: the gated (narrow) pair table is scanned twice below
+            # (semi-join reduction + verify join) — without it the two
+            # signature joins re-execute per scan unless ReuseExchange
+            # happens to fire (same policy as candidate_pairs' checkpoint)
+            .localCheckpoint(eager=True)
         )
         # the gate shrank the pair set, so re-derive the semi-join reduction
         # from the survivors — fewer docs ship their shingle arrays below

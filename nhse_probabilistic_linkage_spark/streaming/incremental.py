@@ -95,20 +95,58 @@ class IncrementalDedup:
         # markers); bare data files at the root are the legacy layout
         return [n for n in names if not n.startswith(("_", ".")) and "=" not in n]
 
+    def _version_marker(self) -> str:
+        return fs.join(self.state_dir, "VERSION")
+
+    def _expected_version(self) -> str:
+        from nhse_probabilistic_linkage_spark.functions.text import (
+            NORMALIZE_VERSION,
+            SHINGLE_HASH_VERSION,
+        )
+
+        return f"layout=1 shingle_hash={SHINGLE_HASH_VERSION} normalize={NORMALIZE_VERSION}"
+
     def _check_layout(self) -> None:
-        """Fail loudly on a pre-batch_id state dir instead of corrupting it:
-        writing batch_id=N/ partition dirs next to root-level data files
-        breaks parquet partition discovery for every later read."""
+        """Fail loudly on incompatible state instead of corrupting it:
+        (a) a pre-batch_id layout (root-level data files) breaks parquet
+        partition discovery once partitioned writes land next to it;
+        (b) a store whose persisted shingle/minhash/band values were computed
+        under a DIFFERENT hash representation would simply never collide
+        with new batches — every previously-seen doc silently re-admitted —
+        so a version marker is pinned on first write and enforced after."""
         if self._layout_checked:
             return
+        has_data = False
         for path, _, _ in self._tables():
-            if self._root_data_files(fs.list_names(self.spark, path)):
+            names = fs.list_names(self.spark, path)
+            has_data = has_data or bool(names)
+            if self._root_data_files(names):
                 raise RuntimeError(
                     f"legacy (non-partitioned) streaming state at {path}: "
                     "this store predates the batch_id/bucket partition layout. "
                     "Run migrate_legacy_state() once to rewrite it in place, "
                     "then retry."
                 )
+        marker = fs.read_text(self.spark, self._version_marker())
+        expected = self._expected_version()
+        if marker is None:
+            if has_data:
+                raise RuntimeError(
+                    f"streaming state at {self.state_dir} has no VERSION marker: "
+                    "it was written by an engine release with a different "
+                    f"shingle-hash representation (current: '{expected}'). "
+                    "Stored signatures cannot be compared with new ones — "
+                    "rebuild the state dir (re-run the stream from scratch) "
+                    "or keep processing with the old release."
+                )
+            fs.write_text(self.spark, self._version_marker(), expected)
+        elif marker.strip() != expected:
+            raise RuntimeError(
+                f"streaming state version mismatch at {self.state_dir}: "
+                f"store='{marker.strip()}' engine='{expected}'. Stored "
+                "signatures were computed under a different hash "
+                "representation and cannot be mixed — rebuild the state dir."
+            )
         self._layout_checked = True
 
     def migrate_legacy_state(self, legacy_batch_id: int = -1) -> None:
@@ -143,7 +181,15 @@ class IncrementalDedup:
             fs.delete(self.spark, tmp, recursive=True)
             df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
             fs.delete(self.spark, path, recursive=True)
-            fs.rename(self.spark, tmp, path)
+            # Hadoop rename reports many failures via a false RETURN, not an
+            # exception — unchecked, a failed rename here would strand the
+            # data in .migrating and silently empty the store
+            if not fs.rename(self.spark, tmp, path):
+                raise RuntimeError(
+                    f"migration rename failed: data preserved at {tmp}, "
+                    f"target {path} is currently absent — move it into place "
+                    "manually and retry"
+                )
         self._layout_checked = False
 
     # -- store access ---------------------------------------------------------

@@ -183,3 +183,30 @@ def test_asof_bucketed_randomized(spark):
         for r in asof_join_bucketed(left, right, on="ts", by=("k",), bucket_seconds=3600).collect()
     )
     assert got == want and len(want) == 500
+
+
+def test_asof_bucketed_null_timestamps(spark):
+    """NULL timestamps behave as 'before everything' in asof_join (asc
+    nulls-first window order); the bucketed rewrite must preserve that —
+    a NULL-ts right row seeds every later bucket, a NULL-ts left row sees
+    only NULL-ts right rows."""
+    from nhse_probabilistic_linkage_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, "A", _t(10)), (2, "A", None), (3, "B", _t(10))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", None, 42.0), ("B", None, 7.0), ("B", _t(5), 8.0)],
+        "k string, ts timestamp, v double",
+    )
+    want = sorted(tuple(r) for r in asof_join(left, right, on="ts", by=("k",)).collect())
+    got = sorted(
+        tuple(r)
+        for r in asof_join_bucketed(left, right, on="ts", by=("k",), bucket_seconds=60).collect()
+    )
+    assert got == want
+    by_lid = {r[0]: r for r in got}
+    assert by_lid[1][-1] == 42.0  # NULL-ts right row attaches (ts stays NULL)
+    assert by_lid[2][-1] == 42.0  # NULL-ts left row matches NULL-ts right
+    assert by_lid[3][-1] == 8.0   # real row beats the NULL-ts one

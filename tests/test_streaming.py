@@ -133,3 +133,28 @@ def test_readstream_available_now(spark, corpus, tmp_path_factory):
 
     batch_pairs, _ = minhash_lsh_pairs(corpus, CFG)
     assert _pairset(inc.verified_pairs()) == _pairset(batch_pairs)
+
+
+def test_state_version_marker_enforced(spark, corpus, tmp_path_factory):
+    """The store pins the shingle-hash representation version on first
+    write; a store from a different representation must be refused loudly —
+    mixed hash spaces never collide, so processing on would silently
+    re-admit every previously-seen doc."""
+    state = str(tmp_path_factory.mktemp("state"))
+    inc = IncrementalDedup(spark, state, CFG)
+    inc.process_batch(corpus.limit(50), 0)
+    marker = os.path.join(state, "VERSION")
+    assert os.path.exists(marker)
+
+    # store written under a different hash version -> refuse
+    with open(marker, "w") as f:
+        f.write("layout=1 shingle_hash=1 normalize=1")
+    stale = IncrementalDedup(spark, state, CFG)
+    with pytest.raises(RuntimeError, match="version"):
+        stale.process_batch(corpus.limit(50), 1)
+
+    # store with data but NO marker (pre-versioning release) -> refuse
+    os.remove(marker)
+    unmarked = IncrementalDedup(spark, state, CFG)
+    with pytest.raises(RuntimeError, match="VERSION"):
+        unmarked.process_batch(corpus.limit(50), 1)
