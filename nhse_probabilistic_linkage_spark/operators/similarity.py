@@ -115,25 +115,41 @@ def embedding_neardup_pairs(
     """
     slim = df.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n"))
     if not exact:
+        # eager cut: the vector table feeds the dim probe, the bucket UDF,
+        # and BOTH sides of the verify attach — without it the caller's
+        # whole embedding lineage (often a derived/featurized expression)
+        # re-executes per scan (measured on a 40k-doc derived-embedding
+        # input: 188s lazy vs seconds cut)
+        slim = slim.localCheckpoint(eager=True)
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            dim = len(slim.select(vec_col).first()[0])
         # size the tables from the collision model at this threshold unless
         # the caller pins them
         auto_planes, auto_tables = lsh_params_for_threshold(threshold)
         n_planes = n_planes if n_planes is not None else auto_planes
         n_tables = n_tables if n_tables is not None else auto_tables
         bucket = make_hyperplane_udf(dim, n_planes=n_planes, seed=seed, n_tables=n_tables)
-        slim = slim.withColumn("_bkt", F.explode(bucket(vec_col)))
-        l = slim.select(
-            F.col("_bkt"), F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl")
-        )
-        r = slim.select(
-            F.col("_bkt"), F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr")
-        )
+        # the bucket self-join moves ONLY (id, bucket) — 16-byte rows. The
+        # vectors would otherwise ride the join n_tables-times duplicated
+        # (the verify_pairs lesson: join narrow, attach wide after dedup).
+        bkts = slim.select(
+            F.col(id_col), F.explode(bucket(vec_col)).alias("_bkt")
+        ).localCheckpoint(eager=True)
         cand = (
-            l.join(r, "_bkt")
+            bkts.select("_bkt", F.col(id_col).alias("id_l"))
+            .join(bkts.select("_bkt", F.col(id_col).alias("id_r")), "_bkt")
             .where(F.col("id_l") < F.col("id_r"))
             .dropDuplicates(["id_l", "id_r"])
+        )
+        cand = (
+            cand.join(
+                slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl")),
+                "id_l",
+            )
+            .join(
+                slim.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr")),
+                "id_r",
+            )
         )
     else:
         l = slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl"))

@@ -125,8 +125,14 @@ def tiered_dedup(
     if embeddings is not None:
         from nhse_probabilistic_linkage_spark.operators.similarity import embedding_neardup_pairs
 
-        emb2 = embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col).join(
-            surv2, id_col, "left_semi"
+        # eager cut: the emptiness probe AND the multi-table LSH below each
+        # scan this table; without the cut the caller's embedding lineage
+        # (often a derived/featurized expression, not a parquet read)
+        # re-executes per scan
+        emb2 = (
+            embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+            .join(surv2, id_col, "left_semi")
+            .localCheckpoint(eager=True)
         )
         if emb2.isEmpty():
             # every embedded doc fell in an earlier tier: no semantic edges
