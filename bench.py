@@ -179,8 +179,10 @@ def main() -> None:
     timings["dedup_pipeline_synth"] = round(synth["seconds"], 3)
     spark.catalog.clearCache()
 
+    # the cascade is reported as its own top-level block, NOT summed into
+    # the headline total: the total's query set is held fixed across rounds
+    # so round-over-round comparisons stay apples-to-apples
     cascade = run_cascade_synth(spark, synth_docs)
-    timings["dedup_cascade_synth"] = round(cascade["seconds"], 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -196,6 +198,7 @@ def main() -> None:
             "stage_seconds": synth["stage_seconds"],
         },
         "dedup_cascade": {
+            "seconds": round(cascade["seconds"], 3),
             "docs": cascade["docs"],
             "docs_per_sec": round(cascade["docs_per_sec"], 1),
             "kept": cascade["kept"],
