@@ -79,6 +79,12 @@ class DedupConfig:
     # it wins ~10%. None = decide adaptively where corpus stats are
     # available (DedupPipeline turns it on when mean shingles/doc >=
     # verify_gate_min_avg_shingles; bare operator calls treat None as off).
+    # The gate is LOSSY and therefore never silent: whenever it fires, the
+    # pipeline records a 'verified.gated_pairs' StageMetric (gated-out pair
+    # count + pairs_in) in the metrics table — the same accounting policy as
+    # dropped LSH bands — and the auto decision itself is logged as
+    # 'verified.estimate_gate'. Set False to force it off for strict-recall
+    # runs.
     verify_estimate_gate: bool | None = None
     verify_estimate_band: float = 0.15
     verify_gate_min_avg_shingles: int = 4096

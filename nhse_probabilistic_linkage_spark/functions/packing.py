@@ -38,6 +38,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# improbable internal names + a guard: silently overwriting a caller column
+# named writer_id (or dropping one named like a working column) would corrupt
+# the export with no error
+_ORD, _START = "__pack_ord", "__pack_start"
+_OUT_COLS = ("writer_id", "shard_seq", "shard_pos", "shard_offset")
+
 
 def pack_token_shards(
     df: DataFrame,
@@ -75,6 +81,12 @@ def pack_token_shards(
     """
     if writers is None:
         writers = 64
+    clash = sorted(set(df.columns) & {*_OUT_COLS, _ORD, _START})
+    if clash:
+        raise ValueError(
+            f"pack_token_shards: input column(s) {clash} collide with the "
+            "operator's output/working columns; rename them before packing"
+        )
     n_tok = F.col(tokens_col).cast("long")
     order_key = (
         order_expr if order_expr is not None else F.xxhash64(F.col(id_col), F.lit(seed))
@@ -84,30 +96,30 @@ def pack_token_shards(
         if writer_expr is not None
         else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed ^ 0x517C)), F.lit(writers))
     )
-    tagged = df.withColumn("writer_id", writer_key.cast("int")).withColumn("_ord", order_key)
+    tagged = df.withColumn("writer_id", writer_key.cast("int")).withColumn(_ORD, order_key)
     # one window pass: running token sum in the writer's deterministic order
     # (id_col tiebreak makes the order total, so cumsum is reproducible)
     w = (
         Window.partitionBy("writer_id")
-        .orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+        .orderBy(F.col(_ORD).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(n_tok).over(w)
-    out = tagged.withColumn("_start", cum - n_tok).withColumn(
-        "shard_seq", F.floor(F.col("_start") / F.lit(shard_tokens)).cast("int")
+    out = tagged.withColumn(_START, cum - n_tok).withColumn(
+        "shard_seq", F.floor(F.col(_START) / F.lit(shard_tokens)).cast("int")
     )
     # position/offset within the shard reuse the SAME (writer) partitioning —
     # the second window adds no exchange, only a re-sort Catalyst elides
     # (identical partition + identical prefix ordering)
     ws = (
         Window.partitionBy("writer_id", "shard_seq")
-        .orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+        .orderBy(F.col(_ORD).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         out.withColumn("shard_pos", F.count("*").over(ws).cast("int"))
         .withColumn(
-            "shard_offset", (F.col("_start") - F.col("shard_seq").cast("long") * F.lit(shard_tokens)).cast("long")
+            "shard_offset", (F.col(_START) - F.col("shard_seq").cast("long") * F.lit(shard_tokens)).cast("long")
         )
-        .drop("_ord", "_start")
+        .drop(_ORD, _START)
     )

@@ -35,6 +35,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Internal working columns use an improbable __asof_ prefix AND are guarded:
+# silently overwriting (or dropping) a caller column of the same name would
+# corrupt data with no error — the guard turns that into a loud ValueError.
+_T, _SIDE, _RROW, _M = "__asof_t", "__asof_side", "__asof_rrow", "__asof_m"
+_BUCKET, _RN, _PRESENT = "__asof_bucket", "__asof_rn", "__asof_present"
+_SEED = "__asof_seed_"
+
+
+def _guard_columns(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    clash = sorted(set(df.columns) & set(names))
+    if clash:
+        raise ValueError(
+            f"{op}: input column(s) {clash} collide with reserved internal/"
+            "output names; rename them before calling"
+        )
+
 
 def asof_join(
     left: DataFrame,
@@ -53,6 +69,10 @@ def asof_join(
     if value_cols is None:
         value_cols = tuple(c for c in right.columns if c not in (*by, on))
     lcols = list(left.columns)
+    _guard_columns(left, (_T, _SIDE, _RROW, _M), "asof_join")
+    _guard_columns(right, (_T, _SIDE, _RROW, _M), "asof_join")
+    out_names = tuple(f"{prefix}{c}" for c in (on, *value_cols))
+    _guard_columns(left, out_names, "asof_join (output columns)")
 
     # The matched right row is carried as ONE struct, not per-column lasts:
     # per-column last(..., ignorenulls) would conflate "not a right row"
@@ -65,21 +85,21 @@ def asof_join(
     ) + ">"
     tagged_left = left.select(
         *[F.col(c) for c in by],
-        F.col(on).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.col(on).alias(_T),
+        F.lit(1).alias(_SIDE),
         *[F.col(c) for c in lcols if c not in by and c != on],
         F.col(on),
-        F.lit(None).cast(rrow_t).alias("_rrow"),
+        F.lit(None).cast(rrow_t).alias(_RROW),
     )
     tagged_right = right.select(
         *[F.col(c) for c in by],
-        F.col(on).alias("_t"),
-        F.lit(0).alias("_side"),
+        F.col(on).alias(_T),
+        F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != on],
         F.lit(None).cast(left.schema[on].dataType).alias(on),
         F.struct(
             F.col(on).alias("t"), *[F.col(c).alias(c) for c in value_cols]
-        ).alias("_rrow"),
+        ).alias(_RROW),
     )
 
     # Tie rules: right rows sort before left rows at equal times (equal
@@ -89,23 +109,23 @@ def asof_join(
     # as sampling.stratified_cap).
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.xxhash64("_rrow").asc())
+        .orderBy(F.col(_T).asc(), F.col(_SIDE).asc(), F.xxhash64(_RROW).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_left.unionByName(tagged_right).select(
         "*",
-        F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
+        F.last(_RROW, ignorenulls=True).over(w).alias(_M),
     )
-    out = carried.where(F.col("_side") == 1)
+    out = carried.where(F.col(_SIDE) == 1)
     if tolerance is not None:
-        in_tol = F.col("_m.t") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+        in_tol = F.col(f"{_M}.t") >= F.col(_T) - F.expr(f"INTERVAL {tolerance}")
     else:
         in_tol = F.lit(True)
-    keep = F.col("_m").isNotNull() & in_tol
+    keep = F.col(_M).isNotNull() & in_tol
     return out.select(
         *[F.col(c) for c in lcols],
-        F.when(keep, F.col("_m.t")).alias(f"{prefix}{on}"),
-        *[F.when(keep, F.col(f"_m.{c}")).alias(f"{prefix}{c}") for c in value_cols],
+        F.when(keep, F.col(f"{_M}.t")).alias(f"{prefix}{on}"),
+        *[F.when(keep, F.col(f"{_M}.{c}")).alias(f"{prefix}{c}") for c in value_cols],
     )
 
 
@@ -133,6 +153,8 @@ def asof_join_bucketed(
     """
     if value_cols is None:
         value_cols = tuple(c for c in right.columns if c not in (*by, on))
+    _guard_columns(left, (_BUCKET, _RN, _PRESENT), "asof_join_bucketed")
+    _guard_columns(right, (_BUCKET, _RN, _PRESENT), "asof_join_bucketed")
     w_us = F.lit(int(bucket_seconds) * 1_000_000)
 
     def bucket_of(col: str) -> F.Column:
@@ -147,20 +169,20 @@ def asof_join_bucketed(
             F.lit(-(1 << 62)),
         )
 
-    lb = left.withColumn("_bucket", bucket_of(on))
-    rb = right.select(*by, on, *value_cols).withColumn("_bucket", bucket_of(on))
+    lb = left.withColumn(_BUCKET, bucket_of(on))
+    rb = right.select(*by, on, *value_cols).withColumn(_BUCKET, bucket_of(on))
 
     # latest right row per (by, bucket) — same tie rule as the main pass:
     # greatest (t, xxhash64(values)) wins
     rstruct = F.struct(F.col(on).alias("t"), *[F.col(c) for c in value_cols])
     rn_w = (
-        Window.partitionBy(*by, "_bucket")
+        Window.partitionBy(*by, _BUCKET)
         .orderBy(F.col(on).desc(), F.xxhash64(rstruct).desc())
     )
     bucket_last = (
-        rb.withColumn("_rn", F.row_number().over(rn_w))
-        .where("_rn = 1")
-        .drop("_rn")
+        rb.withColumn(_RN, F.row_number().over(rn_w))
+        .where(F.col(_RN) == 1)
+        .drop(_RN)
     )
 
     # seed lookup: for each left bucket B, the latest right row of any bucket
@@ -168,29 +190,29 @@ def asof_join_bucketed(
     # (one row per key per occupied bucket) keyed on bucket number — the
     # right summary's effective bucket is shifted +1 so only strictly earlier
     # buckets match (rows within B are handled by the main pass directly).
-    left_buckets = lb.select(*by, "_bucket").distinct()
-    # _present distinguishes "no earlier bucket had a right row" from a
-    # legitimate seed whose timestamp/value IS NULL — filtering on the
+    left_buckets = lb.select(*by, _BUCKET).distinct()
+    # the _present marker distinguishes "no earlier bucket had a right row"
+    # from a legitimate seed whose timestamp/value IS NULL — filtering on the
     # seed's timestamp would drop NULL-ts right rows that plain asof_join
     # happily attaches
-    seeds_src = bucket_last.withColumn("_bucket", F.col("_bucket") + 1).withColumn(
-        "_present", F.lit(1)
+    seeds_src = bucket_last.withColumn(_BUCKET, F.col(_BUCKET) + 1).withColumn(
+        _PRESENT, F.lit(1)
     )
     matched = asof_join(
         left_buckets,
         seeds_src,
-        on="_bucket",
+        on=_BUCKET,
         by=by,
-        value_cols=(on, *value_cols, "_present"),
-        prefix="_seed_",
+        value_cols=(on, *value_cols, _PRESENT),
+        prefix=_SEED,
     )
     seeds = (
-        matched.where(F.col("_seed__present").isNotNull())
+        matched.where(F.col(f"{_SEED}{_PRESENT}").isNotNull())
         .select(
             *by,
-            F.col(f"_seed_{on}").alias(on),
-            *[F.col(f"_seed_{c}").alias(c) for c in value_cols],
-            "_bucket",
+            F.col(f"{_SEED}{on}").alias(on),
+            *[F.col(f"{_SEED}{c}").alias(c) for c in value_cols],
+            _BUCKET,
         )
     )
 
@@ -198,9 +220,9 @@ def asof_join_bucketed(
         lb,
         rb.unionByName(seeds),
         on=on,
-        by=(*by, "_bucket"),
+        by=(*by, _BUCKET),
         value_cols=value_cols,
         tolerance=tolerance,
         prefix=prefix,
     )
-    return out.drop("_bucket")
+    return out.drop(_BUCKET)

@@ -47,6 +47,7 @@ def verify_pairs(
     threshold: float | None = None,
     minhash_col: str | None = None,
     estimate_band: float = 0.15,
+    gate_metrics: dict | None = None,
 ) -> DataFrame:
     """Attach exact jaccard to candidate pairs; optionally filter >= threshold.
 
@@ -63,6 +64,12 @@ def verify_pairs(
     documented in DedupConfig). The gate pays off when shingle sets dwarf
     the signature (real web pages); callers with short docs should leave it
     off.
+
+    `gate_metrics`: pass a dict to receive gated-pair accounting
+    (`pairs_in`, `pairs_after_gate`, `pairs_gated_out`) when the gate is
+    active — the same never-silent policy as dropped LSH bands. The counts
+    run over narrow, already-checkpointed pair tables (two cheap jobs), so
+    only observers pay for them.
     """
     # Two physical choices that matter at scale:
     # 1. semi-join reduction: only docs that appear in some candidate pair
@@ -79,6 +86,7 @@ def verify_pairs(
     # blocks instead of re-executing the band self-join, and this branch
     # skips the re-spread shuffle entirely.
     pair_ids = pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col)).distinct()
+    pairs_in = pairs
     pairs = spread_pairs(pairs)
 
     if minhash_col is not None and threshold is not None:
@@ -105,6 +113,15 @@ def verify_pairs(
             # happens to fire (same policy as candidate_pairs' checkpoint)
             .localCheckpoint(eager=True)
         )
+        # gated-out pairs are an observable recall cost (~1e-4 per true
+        # near-threshold pair): surface the count like dropped bands — never
+        # silent when someone is watching
+        if gate_metrics is not None:
+            n_in = pairs_in.count()
+            n_after = pairs.count()
+            gate_metrics["pairs_in"] = n_in
+            gate_metrics["pairs_after_gate"] = n_after
+            gate_metrics["pairs_gated_out"] = n_in - n_after
         # the gate shrank the pair set, so re-derive the semi-join reduction
         # from the survivors — fewer docs ship their shingle arrays below
         pair_ids = pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col)).distinct()

@@ -228,6 +228,7 @@ class DedupPipeline:
             )
         verify_docs = prepared
         minhash_col = None
+        gate_metrics: dict = {}
         if gate:
             verify_docs = prepared.join(signatures.select(self.id_col, "minhash"), self.id_col)
             minhash_col = "minhash"
@@ -239,10 +240,26 @@ class DedupPipeline:
                 threshold=cfg.jaccard_threshold,
                 minhash_col=minhash_col,
                 estimate_band=cfg.verify_estimate_band,
+                gate_metrics=gate_metrics if gate else None,
             ),
             "verified",
             manifest,
         )
+        if gate_metrics:
+            # never-silent accounting for the lossy estimate gate (same
+            # policy as pairs.dropped_bands): the gated-out pair count is in
+            # the metrics table, so the ~1e-4/pair recall cost is observable
+            self.metrics.append(
+                StageMetric(
+                    "verified.gated_pairs",
+                    gate_metrics["pairs_gated_out"],
+                    0.0,
+                    {
+                        "pairs_in": gate_metrics["pairs_in"],
+                        "estimate_band": cfg.verify_estimate_band,
+                    },
+                )
+            )
 
         clusters = self._materialize(
             assign_components(

@@ -117,43 +117,89 @@ class IncrementalDedup:
         if self._layout_checked:
             return
         has_data = False
+        legacy_paths: list[str] = []
         for path, _, _ in self._tables():
             names = fs.list_names(self.spark, path)
             has_data = has_data or bool(names)
             if self._root_data_files(names):
-                raise RuntimeError(
-                    f"legacy (non-partitioned) streaming state at {path}: "
-                    "this store predates the batch_id/bucket partition layout. "
-                    "Run migrate_legacy_state() once to rewrite it in place, "
-                    "then retry."
-                )
+                legacy_paths.append(path)
+        # VERSION first: it is cheap and TERMINAL. A pre-batch_id store also
+        # predates the marker, and a layout rewrite cannot manufacture hash
+        # compatibility — checking layout first would instruct an expensive
+        # migrate_legacy_state() whose retry still fails here.
         marker = fs.read_text(self.spark, self._version_marker())
         expected = self._expected_version()
-        if marker is None:
-            if has_data:
-                raise RuntimeError(
-                    f"streaming state at {self.state_dir} has no VERSION marker: "
-                    "it was written by an engine release with a different "
-                    f"shingle-hash representation (current: '{expected}'). "
-                    "Stored signatures cannot be compared with new ones — "
-                    "rebuild the state dir (re-run the stream from scratch) "
-                    "or keep processing with the old release."
-                )
-            fs.write_text(self.spark, self._version_marker(), expected)
-        elif marker.strip() != expected:
+        if marker is not None and marker.strip() != expected:
             raise RuntimeError(
                 f"streaming state version mismatch at {self.state_dir}: "
                 f"store='{marker.strip()}' engine='{expected}'. Stored "
                 "signatures were computed under a different hash "
                 "representation and cannot be mixed — rebuild the state dir."
             )
+        if marker is None and has_data:
+            hint = (
+                " The store additionally uses the legacy non-partitioned "
+                "layout; if you can attest it was written with the CURRENT "
+                "hash representation, migrate_legacy_state(attested_version="
+                f"'{expected}') rewrites the layout AND records the marker."
+                if legacy_paths
+                else ""
+            )
+            raise RuntimeError(
+                f"streaming state at {self.state_dir} has no VERSION marker: "
+                "it was written by an engine release with a different "
+                f"shingle-hash representation (current: '{expected}'). "
+                "Stored signatures cannot be compared with new ones — "
+                "rebuild the state dir (re-run the stream from scratch) "
+                "or keep processing with the old release." + hint
+            )
+        if legacy_paths:
+            # marker present and matching — only the layout needs rewriting
+            raise RuntimeError(
+                f"legacy (non-partitioned) streaming state at {legacy_paths[0]}: "
+                "this store predates the batch_id/bucket partition layout. "
+                "Run migrate_legacy_state() once to rewrite it in place, "
+                "then retry."
+            )
+        if marker is None:
+            fs.write_text(self.spark, self._version_marker(), expected)
         self._layout_checked = True
 
-    def migrate_legacy_state(self, legacy_batch_id: int = -1) -> None:
+    def migrate_legacy_state(
+        self, legacy_batch_id: int = -1, attested_version: str | None = None
+    ) -> None:
         """One-time in-place rewrite of a pre-batch_id state dir into the
         partitioned layout. Legacy rows get batch_id=`legacy_batch_id` (never
         a real batch id, so batch-exclusion reads always keep them) and the
-        bucket columns are derived exactly as the writer derives them."""
+        bucket columns are derived exactly as the writer derives them.
+
+        Hash-compatibility gate: migration rewrites the LAYOUT, it cannot fix
+        an incompatible shingle-hash representation. A store with a VERSION
+        marker must match the current engine (else refuse up front, before the
+        expensive rewrite). A store WITHOUT a marker (true pre-marker legacy)
+        requires the caller to attest, via `attested_version`, that it was
+        written under the current representation; a successful migration then
+        records the marker so the next _check_layout passes."""
+        expected = self._expected_version()
+        marker = fs.read_text(self.spark, self._version_marker())
+        if marker is not None:
+            if marker.strip() != expected:
+                raise RuntimeError(
+                    f"refusing to migrate {self.state_dir}: store version "
+                    f"'{marker.strip()}' != engine '{expected}'. A layout "
+                    "rewrite cannot make the stored hashes comparable — "
+                    "rebuild the state dir instead."
+                )
+        elif attested_version != expected:
+            raise RuntimeError(
+                f"refusing to migrate {self.state_dir}: the store has no "
+                "VERSION marker, so its shingle-hash provenance is unknown. "
+                "If (and only if) it was produced under the current "
+                f"representation, pass attested_version='{expected}' to "
+                "attest that; otherwise rebuild the state dir — migrating "
+                "incompatible hashes would silently re-admit every "
+                "previously-seen document."
+            )
         for path, schema, parts in self._tables():
             if not self._root_data_files(fs.list_names(self.spark, path)):
                 continue  # already partitioned (or absent)
@@ -190,6 +236,11 @@ class IncrementalDedup:
                     f"target {path} is currently absent — move it into place "
                     "manually and retry"
                 )
+        # success: record the (now attested) version, making the migration
+        # path actually usable — without this, the retry after a pre-marker
+        # migration would still die on the no-VERSION-marker check
+        if marker is None:
+            fs.write_text(self.spark, self._version_marker(), expected)
         self._layout_checked = False
 
     # -- store access ---------------------------------------------------------

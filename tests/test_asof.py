@@ -210,3 +210,27 @@ def test_asof_bucketed_null_timestamps(spark):
     assert by_lid[1][-1] == 42.0  # NULL-ts right row attaches (ts stays NULL)
     assert by_lid[2][-1] == 42.0  # NULL-ts left row matches NULL-ts right
     assert by_lid[3][-1] == 8.0   # real row beats the NULL-ts one
+
+
+def test_asof_reserved_column_collision_raises(spark):
+    # caller columns named like the operator's internal working columns must
+    # fail loudly instead of being overwritten/dropped (ADVICE r3 finding)
+    from nhse_probabilistic_linkage_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1), 5)], "k int, ts timestamp, __asof_bucket int"
+    )
+    right = spark.createDataFrame([(1, datetime(2025, 1, 1), 1.0)], "k int, ts timestamp, v double")
+    with pytest.raises(ValueError, match="__asof_bucket"):
+        asof_join_bucketed(left, right, on="ts", by=("k",))
+    bad_left = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1), 0)], "k int, ts timestamp, __asof_side int"
+    )
+    with pytest.raises(ValueError, match="__asof_side"):
+        asof_join(bad_left, right, on="ts", by=("k",))
+    # an output-name collision (left already has asof_ts) is also loud
+    bad_out = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1), datetime(2025, 1, 1))], "k int, ts timestamp, asof_ts timestamp"
+    )
+    with pytest.raises(ValueError, match="asof_ts"):
+        asof_join(bad_out, right, on="ts", by=("k",))

@@ -71,3 +71,13 @@ def test_oversized_row_gets_own_budget_span(spark):
     after = [r for r in order if (r.shard_seq, r.shard_pos) > (big.shard_seq, big.shard_pos)]
     for r in after:
         assert r.shard_seq > big.shard_seq
+
+
+def test_reserved_column_collision_raises(spark):
+    # a caller column named like an output/working column must fail loudly,
+    # not be silently overwritten/dropped (ADVICE r3 finding)
+    docs = spark.createDataFrame(
+        [(1, 100, 7)], "doc_id long, n_tokens long, writer_id int"
+    )
+    with pytest.raises(ValueError, match="writer_id"):
+        pack_token_shards(docs, shard_tokens=4096, writers=2)

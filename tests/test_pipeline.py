@@ -172,10 +172,20 @@ def test_verify_gate_auto_decision(spark, corpus):
     assert len(gate_rows) == 1 and gate_rows[0].rows == 0
     assert 0 < gate_rows[0].extra["avg_shingles"] < 256
 
-    out_on = DedupPipeline(spark, DedupConfig(verify_estimate_gate=True)).run(pages)
+    p_on = DedupPipeline(spark, DedupConfig(verify_estimate_gate=True))
+    out_on = p_on.run(pages)
     a = sorted((r.doc_id, r.cluster_id) for r in out_auto["clusters"].collect())
     b = sorted((r.doc_id, r.cluster_id) for r in out_on["clusters"].collect())
     assert a == b
+    # the lossy gate is never silent: whenever it runs, the gated-out pair
+    # count is a recorded StageMetric (ADVICE r3: match the band-cap policy)
+    gated = [m for m in p_on.metrics if m.stage == "verified.gated_pairs"]
+    assert len(gated) == 1
+    assert gated[0].rows >= 0
+    # pairs_in must equal the pairs stage's recorded rows — the accounting
+    # covers every candidate, none slip past the gate uncounted
+    pairs_rows = next(m.rows for m in p_on.metrics if m.stage == "pairs")
+    assert gated[0].extra["pairs_in"] == pairs_rows
 
 
 def test_pairs_identical_across_parallelism(spark, corpus):

@@ -73,6 +73,24 @@ def test_redelivery_is_idempotent(spark, corpus, tmp_path_factory):
     assert inc.stored_sigs().count() == n_sigs
 
 
+def _flatten_to_legacy(spark, state):
+    """Rewrite a modern store to the legacy layout: no partition dirs, no
+    batch_id/bucket columns, no commit marker."""
+    import shutil
+
+    for sub, drop in (
+        ("sigs", ["batch_id", "sig_bucket"]),
+        ("bands", ["batch_id", "bucket"]),
+        ("pairs", ["batch_id"]),
+    ):
+        path = os.path.join(state, sub)
+        tmp = os.path.join(state, f"_legacy_{sub}")
+        spark.read.parquet(path).drop(*drop).write.parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    os.remove(os.path.join(state, "commits", "batch-0"))
+
+
 def test_legacy_state_detected_and_migrated(spark, corpus, tmp_path_factory):
     """A state dir written before the batch_id/bucket partition layout must
     (a) be refused loudly — writing batch_id=N/ dirs next to root-level data
@@ -80,8 +98,6 @@ def test_legacy_state_detected_and_migrated(spark, corpus, tmp_path_factory):
     count as committed history, so previously-seen docs are NOT re-admitted
     (a bare `batch_id != N` filter would evaluate NULL on legacy rows and
     silently drop the whole prior history)."""
-    import shutil
-
     state = str(tmp_path_factory.mktemp("state"))
     inc = IncrementalDedup(spark, state, CFG)
     half = corpus.limit(200)
@@ -89,22 +105,24 @@ def test_legacy_state_detected_and_migrated(spark, corpus, tmp_path_factory):
     n_sigs = inc.stored_sigs().count()
     n_pairs = inc.verified_pairs().count()
 
-    # flatten the stored state to the legacy layout: no partition dirs, no
-    # batch_id/bucket columns
-    for sub, drop in (("sigs", ["batch_id", "sig_bucket"]), ("bands", ["batch_id", "bucket"]), ("pairs", ["batch_id"])):
-        path = os.path.join(state, sub)
-        tmp = os.path.join(state, f"_legacy_{sub}")
-        spark.read.parquet(path).drop(*drop).write.parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-    os.remove(os.path.join(state, "commits", "batch-0"))
+    _flatten_to_legacy(spark, state)
+    # a REAL legacy store also predates the VERSION marker — remove it so the
+    # test exercises the actual migration path, not a hand-flattened modern
+    # store that happens to carry the marker already
+    os.remove(os.path.join(state, "VERSION"))
     assert "batch_id" not in spark.read.parquet(os.path.join(state, "sigs")).columns
 
     fresh = IncrementalDedup(spark, state, CFG)
-    with pytest.raises(RuntimeError, match="legacy"):
+    # the version check runs FIRST (terminal; a layout rewrite can't fix an
+    # incompatible hash representation) and names the attestation escape hatch
+    with pytest.raises(RuntimeError, match="VERSION marker.*attested_version"):
         fresh.process_batch(half, 1)
-
-    fresh.migrate_legacy_state()
+    # unattested migration of a marker-less store must refuse up front
+    with pytest.raises(RuntimeError, match="attest"):
+        fresh.migrate_legacy_state()
+    fresh.migrate_legacy_state(attested_version=fresh._expected_version())
+    # migration recorded the attested version — the retry passes _check_layout
+    assert os.path.exists(os.path.join(state, "VERSION"))
     # redeliver the same docs under a new batch id: all already seen -> the
     # store must not grow and no new-batch rows may be admitted
     fresh.process_batch(half, 1)
@@ -112,6 +130,26 @@ def test_legacy_state_detected_and_migrated(spark, corpus, tmp_path_factory):
     assert sigs.count() == n_sigs
     assert sigs.where(F.col("batch_id") == 1).count() == 0
     assert fresh.verified_pairs().count() == n_pairs
+
+
+def test_legacy_layout_with_matching_marker_migrates_unattested(
+    spark, corpus, tmp_path_factory
+):
+    """When the VERSION marker exists and matches, only the layout needs a
+    rewrite — migrate_legacy_state() needs no attestation."""
+    state = str(tmp_path_factory.mktemp("state"))
+    inc = IncrementalDedup(spark, state, CFG)
+    few = corpus.limit(50)
+    inc.process_batch(few, 0)
+    n_sigs = inc.stored_sigs().count()
+    _flatten_to_legacy(spark, state)  # marker left in place
+
+    fresh = IncrementalDedup(spark, state, CFG)
+    with pytest.raises(RuntimeError, match="legacy"):
+        fresh.process_batch(few, 1)
+    fresh.migrate_legacy_state()
+    fresh.process_batch(few, 1)  # all already seen
+    assert fresh.stored_sigs().count() == n_sigs
 
 
 def test_readstream_available_now(spark, corpus, tmp_path_factory):
