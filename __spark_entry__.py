@@ -1187,6 +1187,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q87_token_shard_packing"] = q87_token_shard_packing
 
+    def q88_asof_bucketed(spark, sf_dir):
+        # the hot-key-safe as-of variant (operators/asof.py asof_join_bucketed):
+        # shuffle key is (user_id, time-bucket) instead of user_id, with
+        # earlier-bucket matches found via per-bucket seed rows — output is
+        # contractually identical to q81's plain as-of, so it shares q81's
+        # DuckDB ASOF LEFT JOIN oracle
+        from nhse_probabilistic_linkage_spark.operators.asof import asof_join_bucketed
+
+        ev = _t(spark, sf_dir, "events")
+        right = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        return asof_join_bucketed(
+            ev.select("event_id", "user_id", "ts"),
+            right,
+            on="ts",
+            by=("user_id",),
+            value_cols=("value",),
+            bucket_seconds=3600,
+        ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+    q["q88_asof_bucketed"] = q88_asof_bucketed
+
     # ------------------------------------------------------------------
     # registration order IS the driver contract: the correctness harness
     # records the first 50 entries, so the first 50 are curated to keep a
@@ -1210,6 +1231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_windowed_event_stats", "q80_session_stats", "q81_asof_enrich",
         "q82_time_rollup", "q83_percentile_stats", "q84_json_props",
         "q85_range_join_sessions",
+        # training-export shard packing (r4: promoted into the recorded 50 in
+        # place of q36_micro_filters, whose startswith/fillna/asc_nulls_last
+        # micro-features stay §2-covered by q02/q13/q30; q36 remains
+        # oracle-checked via tools/check_oracle.py)
+        "q87_token_shard_packing",
         # relational coverage (one recorded query per SURVEY §2 row)
         "q02_filter_project_case", "q03_join3_revenue",
         "q10_customers_without_orders", "q11_customers_with_f_orders",
@@ -1217,7 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_lookup_replace_enrich", "q20_top3_orders_per_customer",
         "q24_growing_frame_accumulate", "q30_union_topk_sql",
         "q32_conditional_agg_single_pass", "q34_hash_bucket_sample",
-        "q35_pair_sample", "q36_micro_filters", "q37_threshold_confusion",
+        "q35_pair_sample", "q37_threshold_confusion",
         "q40_string_functions", "q41_explode_embedding_stats",
         "q43_explode_outer_window_prune", "q44_nested_history",
         "q45_agreement_vectors",
@@ -1971,6 +1997,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
         ) r ON l.user_id = r.user_id AND l.ts >= r.ts
     """
+
+    # the bucketed rewrite is output-identical to the plain as-of by
+    # contract (equivalence + property tests in tests/test_asof.py), so it
+    # must clear the SAME native ASOF JOIN oracle
+    o["q88_asof_bucketed"] = o["q81_asof_enrich"]
 
     # GROUPING() bit order matches Spark's grouping_id (leftmost = MSB)
     o["q82_time_rollup"] = """
