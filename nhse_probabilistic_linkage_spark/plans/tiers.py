@@ -27,9 +27,12 @@ Scale notes:
 - Dropped-doc status rows are (id, tier, canonical) — narrow — and the
   canonical-chain resolution joins tier maps that SHRINK monotonically
   (tier N's map only contains docs that survived tiers < N).
-- Each tier's survivor id set is cut eagerly (localCheckpoint) because the
-  next tier and the status union both scan it; without the cut the previous
-  tier's full lineage (including the MinHash kernel) would re-execute.
+- Each tier's survivor id set is cut (localCheckpoint) because the next
+  tier and the status union both scan it; without the cut the previous
+  tier's full lineage (including the MinHash kernel) would re-execute. With
+  collect_metrics=True the cuts are eager (honest per-tier walls); with
+  collect_metrics=False they are lazy — materialized by the single final
+  accounting job, no per-tier serial barriers.
 """
 
 from __future__ import annotations
@@ -73,6 +76,7 @@ def tiered_dedup(
     vec_col: str = "embedding",
     cosine_threshold: float = 0.95,
     exact_cosine: bool = False,
+    collect_metrics: bool = True,
 ) -> dict:
     """Run the cascade. Returns dict with:
 
@@ -89,37 +93,54 @@ def tiered_dedup(
     The embedding tier runs only when `embeddings` (id_col, vec_col) is
     passed; docs without a vector pass through it untouched (a missing
     embedding must not silently delete a document).
+
+    `collect_metrics=True` (the evaluation shape) takes an eager checkpoint
+    + count at every tier boundary so `TierMetric.seconds` are honest
+    per-tier walls. `collect_metrics=False` is the PRODUCTION shape: tier
+    handoffs become lazy localCheckpoints (reused after first
+    materialization, but no serial count barriers — at 100 TB each barrier
+    is a full materialization of the id set), and the identical drop
+    accounting comes from ONE final groupBy over the status table;
+    per-tier seconds are 0.0 by construction. The status/survivors output
+    is bit-identical between the two modes (pinned in tests/test_tiers.py).
     """
     import time
 
-    ids0 = docs.select(F.col(id_col).cast("long").alias(id_col)).localCheckpoint(eager=True)
-    n0 = ids0.count()
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=collect_metrics)
+
+    ids0 = _cut(docs.select(F.col(id_col).cast("long").alias(id_col)))
     metrics: list[TierMetric] = []
-    t_tier = time.monotonic()
+    if collect_metrics:
+        n0 = ids0.count()
+        t_tier = time.monotonic()
 
     # ---- tier 1: exact (128-bit fingerprint groupBy) ----------------------
     groups = exact_dedup(docs, id_col=id_col, text_col=text_col)
-    exact_drops = (
+    exact_drops = _cut(
         groups.where(F.col(id_col) != F.col("rep_id"))
         .select(F.col(id_col).cast("long").alias(id_col), F.col("rep_id").cast("long").alias("canonical_id"))
-        .localCheckpoint(eager=True)
     )
-    surv1 = ids0.join(exact_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
-    n1 = surv1.count()
-    # tier walls are meaningful: each tier ends in eager checkpoints + count
-    metrics.append(TierMetric("exact", n0, n0 - n1, n1, time.monotonic() - t_tier))
-    t_tier = time.monotonic()
+    surv1 = _cut(ids0.join(exact_drops.select(id_col), id_col, "left_anti"))
+    if collect_metrics:
+        n1 = surv1.count()
+        # tier walls are meaningful: each tier ends in eager checkpoints + count
+        metrics.append(TierMetric("exact", n0, n0 - n1, n1, time.monotonic() - t_tier))
+        t_tier = time.monotonic()
 
     # ---- tier 2: near (MinHash LSH + exact-Jaccard verify) ----------------
     docs1 = docs.join(surv1, id_col, "left_semi")
     pairs, _dropped_bands = minhash_lsh_pairs(docs1, config, id_col=id_col, text_col=text_col)
-    near_drops = _cluster_drops(
-        surv1, pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
-    ).localCheckpoint(eager=True)
-    surv2 = surv1.join(near_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
-    n2 = surv2.count()
-    metrics.append(TierMetric("near", n1, n1 - n2, n2, time.monotonic() - t_tier))
-    t_tier = time.monotonic()
+    near_drops = _cut(
+        _cluster_drops(
+            surv1, pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
+        )
+    )
+    surv2 = _cut(surv1.join(near_drops.select(id_col), id_col, "left_anti"))
+    if collect_metrics:
+        n2 = surv2.count()
+        metrics.append(TierMetric("near", n1, n1 - n2, n2, time.monotonic() - t_tier))
+        t_tier = time.monotonic()
 
     # ---- tier 3: semantic (embedding cosine), optional --------------------
     if embeddings is not None:
@@ -142,12 +163,15 @@ def tiered_dedup(
             epairs = embedding_neardup_pairs(
                 emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col, exact=exact_cosine
             )
-        sem_drops = _cluster_drops(
-            surv2, epairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
-        ).localCheckpoint(eager=True)
-        surv3 = surv2.join(sem_drops.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
-        n3 = surv3.count()
-        metrics.append(TierMetric("semantic", n2, n2 - n3, n3, time.monotonic() - t_tier))
+        sem_drops = _cut(
+            _cluster_drops(
+                surv2, epairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
+            )
+        )
+        surv3 = _cut(surv2.join(sem_drops.select(id_col), id_col, "left_anti"))
+        if collect_metrics:
+            n3 = surv3.count()
+            metrics.append(TierMetric("semantic", n2, n2 - n3, n3, time.monotonic() - t_tier))
     else:
         sem_drops = None
         surv3 = surv2
@@ -185,6 +209,19 @@ def tiered_dedup(
     for p in parts[1:]:
         status = status.unionByName(p)
     status = status.select(id_col, "tier", "canonical_id")
+
+    if not collect_metrics:
+        # production-mode accounting: ONE job over the (lazily checkpointed)
+        # status table drives the whole fused plan and yields the identical
+        # per-tier drop counts — n_in chains by subtraction since tiers are
+        # strictly sequential. Per-tier walls don't exist in a fused plan.
+        status = status.localCheckpoint(eager=False)
+        counts = {r["tier"]: r["n"] for r in status.groupBy("tier").agg(F.count("*").alias("n")).collect()}
+        n_in = sum(counts.values())
+        for tier in ("exact", "near", *(("semantic",) if embeddings is not None else ())):
+            d = counts.get(tier, 0)
+            metrics.append(TierMetric(tier, n_in, d, n_in - d))
+            n_in -= d
 
     survivors = docs.join(surv3, id_col, "left_semi")
     return {"status": status, "survivors": survivors, "metrics": metrics}

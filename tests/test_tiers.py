@@ -104,3 +104,33 @@ def test_docs_without_embedding_pass_through(spark, corpus):
     # docs 4 and 6 have no vector: they must survive, not vanish
     kept = sorted(r["doc_id"] for r in out["survivors"].collect())
     assert kept == [1, 4, 6]
+
+
+def test_fused_mode_identical_status_and_accounting(spark, corpus):
+    """collect_metrics=False (production shape: lazy tier handoffs, one
+    final accounting groupBy, no per-tier count barriers) must produce the
+    SAME status rows and the same n_in/n_dropped/n_out as the metric mode."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.01]),
+            (4, [0.0, 1.0, 0.0]),
+            (6, [0.99, 0.0, 0.05]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    kw = dict(embeddings=emb, cosine_threshold=0.99, exact_cosine=True)
+    a = tiered_dedup(corpus, DedupConfig(jaccard_threshold=0.7), **kw)
+    b = tiered_dedup(
+        corpus, DedupConfig(jaccard_threshold=0.7), collect_metrics=False, **kw
+    )
+    rows_a = sorted(tuple(r) for r in a["status"].collect())
+    rows_b = sorted(tuple(r) for r in b["status"].collect())
+    assert rows_a == rows_b
+    acc_a = [(t.tier, t.n_in, t.n_dropped, t.n_out) for t in a["metrics"]]
+    acc_b = [(t.tier, t.n_in, t.n_dropped, t.n_out) for t in b["metrics"]]
+    assert acc_a == acc_b
+    # fused mode has no per-tier walls by construction
+    assert all(t.seconds == 0.0 for t in b["metrics"])
+    surv_a = sorted(r["doc_id"] for r in a["survivors"].collect())
+    surv_b = sorted(r["doc_id"] for r in b["survivors"].collect())
+    assert surv_a == surv_b
