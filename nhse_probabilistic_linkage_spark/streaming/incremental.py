@@ -243,6 +243,113 @@ class IncrementalDedup:
             fs.write_text(self.spark, self._version_marker(), expected)
         self._layout_checked = False
 
+    # -- state compaction -------------------------------------------------------
+    # The store grows one batch_id=N partition set per micro-batch forever; a
+    # year of 5-minute batches is ~100k partition directories per table, and
+    # partition DISCOVERY (listing) starts to dominate the bucket-pruned
+    # reads. Compaction rewrites all committed batch partitions into one
+    # batch_id=COMPACTED generation, preserving the bucket sub-partitioning
+    # (the scan pruning) and the row set exactly. Reference analog: the
+    # temp-table GC discipline between Splink runs
+    # (/root/reference/utils/model_utils.py:258-273) — housekeeping that
+    # keeps the state surface bounded, never a semantic change.
+    #
+    # Exactly-once under crashes, same roll-forward shape as the batch
+    # commit markers: the compacted copy is fully written to a tmp dir
+    # first, then a READY marker (listing exactly which batch ids it
+    # replaces) makes the swap a roll-forward obligation — process_batch
+    # completes a half-applied swap before touching the store. Every swap
+    # step is idempotent (deletes of missing dirs no-op, the rename is
+    # skipped once applied), and the new generation always contains the
+    # prior one's rows, so no crash window can lose or duplicate state.
+    COMPACTED_BATCH_ID = -2  # never a real foreachBatch id; != legacy -1
+
+    def _compaction_marker(self) -> str:
+        return fs.join(self.state_dir, "compaction.READY")
+
+    def _compaction_tmp(self) -> str:
+        return fs.join(self.state_dir, "compaction.tmp")
+
+    def _batch_ids(self, path: str) -> list[int]:
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in fs.list_names(self.spark, path)
+            if n.startswith("batch_id=")
+        )
+
+    def compact(self) -> dict[str, list[int]]:
+        """Fold every existing batch partition (committed batches + any prior
+        compacted generation) into one batch_id=COMPACTED_BATCH_ID partition
+        set per table. Returns {table_name: [consumed batch ids]} (empty when
+        there was nothing to fold). Call between micro-batches — foreachBatch
+        serializes batches, so after query.stop() or from the same driver
+        thread is safe. Commit markers of consumed batches are kept: a
+        late replay of a compacted batch must still short-circuit."""
+        import json
+
+        self._check_layout()
+        self._finish_pending_compaction()
+        tmp_root = self._compaction_tmp()
+        fs.delete(self.spark, tmp_root, recursive=True)
+        consumed: dict[str, list[int]] = {}
+        for path, schema, parts in self._tables():
+            ids = self._batch_ids(path)
+            if len(ids) <= 1:
+                continue  # nothing to fold for this table
+            tname = path.rsplit("/", 1)[-1]
+            df = self.spark.read.schema(schema).parquet(path)
+            (
+                df.withColumn("batch_id", F.lit(self.COMPACTED_BATCH_ID).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy(*parts)
+                .parquet(fs.join(tmp_root, tname))
+            )
+            consumed[tname] = ids
+        if not consumed:
+            fs.delete(self.spark, tmp_root, recursive=True)
+            return consumed
+        # marker last: before it, a crash leaves only ignorable tmp output;
+        # after it, the swap is a roll-forward obligation
+        fs.write_text(
+            self.spark,
+            self._compaction_marker(),
+            json.dumps({"batch_id": self.COMPACTED_BATCH_ID, "consumed": consumed}),
+        )
+        self._finish_pending_compaction()
+        return consumed
+
+    def _finish_pending_compaction(self) -> None:
+        """Roll forward a compaction whose READY marker exists: delete the
+        consumed batch partitions and move the compacted generation into
+        place. Idempotent — safe to call on every batch."""
+        import json
+
+        raw = fs.read_text(self.spark, self._compaction_marker())
+        if raw is None:
+            return
+        info = json.loads(raw)
+        cbid = int(info["batch_id"])
+        tmp_root = self._compaction_tmp()
+        for path, _, _ in self._tables():
+            tname = path.rsplit("/", 1)[-1]
+            for bid in info["consumed"].get(tname, []):
+                if bid != cbid:
+                    fs.delete(self.spark, fs.join(path, f"batch_id={bid}"), recursive=True)
+            src = fs.join(tmp_root, tname, f"batch_id={cbid}")
+            if fs.exists(self.spark, src):
+                dst = fs.join(path, f"batch_id={cbid}")
+                # the new generation strictly contains the prior one's rows
+                # (the rewrite read them), so replacing is lossless even if
+                # a crash lands between the delete and the rename
+                fs.delete(self.spark, dst, recursive=True)
+                if not fs.rename(self.spark, src, dst):
+                    raise RuntimeError(
+                        f"compaction rename failed: compacted data preserved "
+                        f"at {src}, marker kept — retry will roll forward"
+                    )
+        fs.delete(self.spark, self._compaction_marker())
+        fs.delete(self.spark, tmp_root, recursive=True)
+
     # -- store access ---------------------------------------------------------
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
         """FS-agnostic probe: attempt the read and fall back to an empty
@@ -291,6 +398,9 @@ class IncrementalDedup:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         cfg = self.config
         self._check_layout()
+        # a compaction that crashed mid-swap must finish before any state
+        # read — half-swapped partitions would under-count seen docs
+        self._finish_pending_compaction()
         if fs.exists(self.spark, self._commit_marker(batch_id)):
             return  # at-least-once replay of an already-committed batch
         self._scrub_batch(batch_id)

@@ -196,3 +196,62 @@ def test_state_version_marker_enforced(spark, corpus, tmp_path_factory):
     unmarked = IncrementalDedup(spark, state, CFG)
     with pytest.raises(RuntimeError, match="VERSION"):
         unmarked.process_batch(corpus.limit(50), 1)
+
+
+def test_compaction_preserves_state_and_exactly_once(spark, corpus, tmp_path_factory, monkeypatch):
+    """10 micro-batches -> compact() -> the stored signatures and verified
+    pairs are row-identical, every table holds ONE batch partition, replays
+    of compacted batches still short-circuit (their commit markers are
+    kept), and a compaction that crashes after writing its READY marker is
+    rolled forward by the next process_batch."""
+    state = str(tmp_path_factory.mktemp("state"))
+    inc = IncrementalDedup(spark, state, CFG)
+    for i in range(10):
+        inc.process_batch(corpus.where(f"pmod(doc_id, 10) = {i}"), i)
+
+    def snap(df, drop=("batch_id",)):
+        return sorted(map(tuple, df.drop(*drop).collect()))
+
+    sigs_before = snap(inc.stored_sigs())
+    pairs_before = snap(inc.verified_pairs())
+    n_expected = corpus.count()
+    assert len(sigs_before) == n_expected
+
+    consumed = inc.compact()
+    assert consumed and max(len(v) for v in consumed.values()) >= 2
+    for path in (inc.sigs_path, inc.bands_path, inc.pairs_path):
+        assert inc._batch_ids(path) == [inc.COMPACTED_BATCH_ID]
+    assert snap(inc.stored_sigs()) == sigs_before
+    assert snap(inc.verified_pairs()) == pairs_before
+
+    # replay of a compacted batch: commit marker survives, store must not grow
+    inc.process_batch(corpus.where("pmod(doc_id, 10) = 3"), 3)
+    assert snap(inc.stored_sigs()) == sigs_before
+
+    # a second compact with one generation is a no-op
+    assert inc.compact() == {}
+
+    # crash simulation: a batch of genuinely NEW docs creates a second
+    # generation, then a compaction dies right after writing its READY
+    # marker (the swap never applied)
+    extra_pages, _ = synth_pages(spark, 100, seed=99, partitions=2)
+    extra = extra_pages.withColumn("doc_id", F.xxhash64("url")).select(
+        "doc_id", "url", "text"
+    )
+    inc.process_batch(extra, 11)
+    sigs_with_extra = snap(inc.stored_sigs())
+    pairs_with_extra = snap(inc.verified_pairs())
+    assert len(sigs_with_extra) == n_expected + 100
+    assert len(inc._batch_ids(inc.sigs_path)) == 2
+    with monkeypatch.context() as m:
+        m.setattr(IncrementalDedup, "_finish_pending_compaction", lambda self: None)
+        assert inc.compact()  # leaves marker + tmp + the old generations
+    assert os.path.exists(os.path.join(state, "compaction.READY"))
+    # the next batch on a fresh handle rolls the swap forward before any read
+    fresh = IncrementalDedup(spark, state, CFG)
+    fresh.process_batch(corpus.where("pmod(doc_id, 10) = 5"), 12)  # all seen
+    assert not os.path.exists(os.path.join(state, "compaction.READY"))
+    for path in (fresh.sigs_path, fresh.bands_path, fresh.pairs_path):
+        assert fresh._batch_ids(path) == [fresh.COMPACTED_BATCH_ID]
+    assert snap(fresh.stored_sigs()) == sigs_with_extra
+    assert snap(fresh.verified_pairs()) == pairs_with_extra
