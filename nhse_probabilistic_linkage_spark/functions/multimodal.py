@@ -12,7 +12,9 @@ the codec itself is swappable:
     harness; the per-format decoder registry ships with a deterministic
     fake decoder (hash-derived dims/duration) because no image/audio codec
     libraries exist in this sandbox. Installing one means registering
-    `register_decoder("image", fn)` — nothing else changes.
+    `register_decoder("image", fn)` — nothing else changes. `wav_decoder`
+    below is a REAL example on the stdlib `wave` codec, exercised
+    end-to-end in tests/test_multimodal.py.
   * `extract_features` — fixed-width feature vector per payload (here: a
     seeded hash-projection of the bytes — deterministic, shape-correct)
     demonstrating the binary -> array<float> path the similarity operators
@@ -89,6 +91,30 @@ def _fake_decode(payload: bytes) -> dict:
         "duration_ms": int.from_bytes(h[2:4], "little") if len(payload) > 64 else 0,
         "n_frames": 1 + h[4] % 32,
     }
+
+
+def wav_decoder(payload: bytes) -> dict:
+    """A REAL decoder built on the stdlib `wave` codec — proof that the
+    registry contract holds beyond the fake: register_decoder("audio",
+    wav_decoder) and decode_media reports actual container properties for
+    RIFF/WAVE payloads (and routes malformed ones to the (ok, err) error
+    channel). Field mapping into the fixed MEDIA_SCHEMA: width = channel
+    count, height = bits per sample (audio has no pixel dims), duration_ms
+    and n_frames are the real values. Not registered by default — payload
+    routing is by magic bytes only, and non-WAV RIFF/ID3 payloads belong to
+    whatever codec the deployment actually installs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        return {
+            "width": w.getnchannels(),
+            "height": w.getsampwidth() * 8,
+            "duration_ms": int(n * 1000 / rate) if rate else 0,
+            "n_frames": n,
+        }
 
 
 def decode_media(

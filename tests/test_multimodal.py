@@ -82,3 +82,38 @@ def test_repartition_by_bytes(spark):
     )
     out = repartition_by_bytes(big, "payload", target_bytes=200_000)
     assert out.rdd.getNumPartitions() == 5  # 1MB total / 200KB
+
+
+def test_real_wav_decoder_roundtrip(spark):
+    """The registry contract with a REAL codec (stdlib `wave`): a genuine
+    in-memory WAV decodes to its actual channel count / bit depth /
+    duration / frame count through the same mapInPandas harness, and a
+    truncated WAV lands in the error channel instead of failing the task."""
+    import io
+    import wave as wavelib
+
+    from nhse_probabilistic_linkage_spark.functions.multimodal import wav_decoder
+
+    buf = io.BytesIO()
+    with wavelib.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 2000)  # 2000 frames = 250 ms
+    payload = buf.getvalue()
+    assert payload[:4] == b"RIFF"  # probe routes it as audio
+
+    rows = [(1, bytearray(payload)), (2, bytearray(payload[:40]))]  # 2: truncated
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    register_decoder("audio", wav_decoder)
+    try:
+        out = {r["doc_id"]: r for r in decode_media(probe_binary(df)).collect()}
+        good = out[1]
+        assert good["media_type"] == "audio" and good["ok"] is True
+        assert (good["width"], good["height"]) == (1, 16)  # channels, bits
+        assert (good["duration_ms"], good["n_frames"]) == (250, 2000)
+        assert out[2]["ok"] is False and out[2]["err"]
+    finally:
+        from nhse_probabilistic_linkage_spark.functions import multimodal
+
+        multimodal._DECODERS.pop("audio", None)
