@@ -14,6 +14,14 @@ Headline set:
 
 Each query is materialized with the noop sink (full execution, no driver
 collect). Scaling protocol (N vs 4N cores) lives in tools/bench_scaling.py.
+
+Noise protocol (r4): this host's wall times swing 2-6x in hour-long
+degradation windows (BENCH.md), so single samples routinely record noise as
+the round's number. The recorded artifact is therefore BEST-OF-K with the
+repeats INTERLEAVED (round-robin over the whole query set, K full rounds):
+a noise burst lands on one round of everything rather than all samples of
+one query. K = $SPARK_GRAFT_REPEATS (default 3) for the headline queries,
+$SPARK_GRAFT_PIPE_REPEATS (default 2) for the pipeline/cascade blocks.
 """
 
 from __future__ import annotations
@@ -46,24 +54,48 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def run_dedup_synth(spark, n_docs: int) -> dict:
-    pages, _truth = synth_pages(spark, n_docs, seed=42)
+def run_dedup_synth(
+    spark,
+    n_docs: int,
+    repeats: int = 1,
+    min_tokens: int = 40,
+    max_tokens: int = 120,
+) -> dict:
+    pages, _truth = synth_pages(
+        spark, n_docs, seed=42, min_tokens=min_tokens, max_tokens=max_tokens
+    )
     pages = pages.select("url", "text").localCheckpoint(eager=True)  # corpus gen excluded from timing
-    t0 = time.monotonic()
-    pipe = DedupPipeline(spark, DedupConfig())
-    out = pipe.run(pages)
-    n_clusters = out["canonical"].where("is_canonical").count()
-    elapsed = time.monotonic() - t0
-    return {
-        "seconds": elapsed,
-        "docs": n_docs,
-        "docs_per_sec": n_docs / elapsed,
-        "clusters": n_clusters,
-        "stage_seconds": {m.stage: round(m.seconds, 2) for m in pipe.metrics},
-    }
+    best = None
+    for _ in range(max(1, repeats)):
+        t0 = time.monotonic()
+        pipe = DedupPipeline(spark, DedupConfig())
+        out = pipe.run(pages)
+        n_clusters = out["canonical"].where("is_canonical").count()
+        elapsed = time.monotonic() - t0
+        by_stage = {m.stage: m for m in pipe.metrics}
+        res = {
+            "seconds": elapsed,
+            "docs": n_docs,
+            "docs_per_sec": n_docs / elapsed,
+            "clusters": n_clusters,
+            "stage_seconds": {m.stage: round(m.seconds, 2) for m in pipe.metrics},
+            # the lossy-gate accounting rides the artifact: whether the
+            # adaptive gate fired (rows of the decision metric) and how many
+            # candidate pairs it rejected before the exact verify
+            "estimate_gate": by_stage["verified.estimate_gate"].rows
+            if "verified.estimate_gate" in by_stage
+            else None,
+            "gated_pairs": by_stage["verified.gated_pairs"].rows
+            if "verified.gated_pairs" in by_stage
+            else 0,
+        }
+        if best is None or res["seconds"] < best["seconds"]:
+            best = res
+        spark.catalog.clearCache()
+    return best
 
 
-def run_cascade_synth(spark, n_docs: int) -> dict:
+def run_cascade_synth(spark, n_docs: int, repeats: int = 1) -> dict:
     """The deployment shape: tiered exact -> near -> semantic cascade
     (plans/tiers.py) over the same synthetic corpus, with per-tier wall
     seconds and drop accounting."""
@@ -99,18 +131,24 @@ def run_cascade_synth(spark, n_docs: int) -> dict:
             lambda i: (F.pmod(F.xxhash64(F.col("_prefix"), i), F.lit(2001)) - 1000).cast("double") / 1000.0,
         ).alias("embedding"),
     )
-    t0 = time.monotonic()
-    out = tiered_dedup(docs, DedupConfig(), embeddings=emb, cosine_threshold=0.98)
-    n_kept = out["status"].where("tier = 'kept'").count()
-    elapsed = time.monotonic() - t0
-    return {
-        "seconds": elapsed,
-        "docs": n_docs,
-        "docs_per_sec": n_docs / elapsed,
-        "kept": n_kept,
-        "tier_seconds": {m.tier: round(m.seconds, 2) for m in out["metrics"]},
-        "tier_dropped": {m.tier: m.n_dropped for m in out["metrics"]},
-    }
+    best = None
+    for _ in range(max(1, repeats)):
+        t0 = time.monotonic()
+        out = tiered_dedup(docs, DedupConfig(), embeddings=emb, cosine_threshold=0.98)
+        n_kept = out["status"].where("tier = 'kept'").count()
+        elapsed = time.monotonic() - t0
+        res = {
+            "seconds": elapsed,
+            "docs": n_docs,
+            "docs_per_sec": n_docs / elapsed,
+            "kept": n_kept,
+            "tier_seconds": {m.tier: round(m.seconds, 2) for m in out["metrics"]},
+            "tier_dropped": {m.tier: m.n_dropped for m in out["metrics"]},
+        }
+        if best is None or res["seconds"] < best["seconds"]:
+            best = res
+        spark.catalog.clearCache()
+    return best
 
 
 def main() -> None:
@@ -142,12 +180,8 @@ def main() -> None:
         "q70_textstats",
     ]
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.monotonic()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
-        spark.catalog.clearCache()  # queries are independent; no cross-talk
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    pipe_repeats = int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS", "2"))
 
     # embedding near-dup is benched on the SCALE path (multi-table hyperplane
     # LSH + exact verify, recall/precision cross-checked by q63's oracle) —
@@ -170,19 +204,46 @@ def main() -> None:
         )
         return embedding_neardup_pairs(em, threshold=0.9, exact=False)
 
-    t0 = time.monotonic()
-    _materialize(_q60_lsh(spark, sf_dir))
-    timings["q60_embedding_neardup_lsh"] = round(time.monotonic() - t0, 3)
+    # interleaved best-of-K: each round runs EVERY query once, so an
+    # episodic host-noise burst degrades one round of everything instead of
+    # permanently inflating whichever query it happened to land on
+    timings: dict[str, float] = {}
+    for _rep in range(max(1, repeats)):
+        for name in headline:
+            t0 = time.monotonic()
+            _materialize(qs[name](spark, sf_dir))
+            sec = round(time.monotonic() - t0, 3)
+            timings[name] = min(sec, timings.get(name, sec))
+            spark.catalog.clearCache()  # queries are independent; no cross-talk
+        t0 = time.monotonic()
+        _materialize(_q60_lsh(spark, sf_dir))
+        sec = round(time.monotonic() - t0, 3)
+        timings["q60_embedding_neardup_lsh"] = min(
+            sec, timings.get("q60_embedding_neardup_lsh", sec)
+        )
+        spark.catalog.clearCache()
+
+    synth = run_dedup_synth(spark, synth_docs, repeats=pipe_repeats)
+    timings["dedup_pipeline_synth"] = round(synth["seconds"], 3)
     spark.catalog.clearCache()
 
-    synth = run_dedup_synth(spark, synth_docs)
-    timings["dedup_pipeline_synth"] = round(synth["seconds"], 3)
+    # web-realistic long docs (~5k tokens; mean shingles/doc >= the adaptive
+    # threshold) so the MinHash-estimate verify gate's behavior is IN the
+    # recorded artifact: estimate_gate=1 and the gated-pair accounting.
+    # Sized to ~1/20th of the doc count so token volume stays comparable.
+    synth_long = run_dedup_synth(
+        spark,
+        max(500, synth_docs // 20),
+        repeats=pipe_repeats,
+        min_tokens=4500,
+        max_tokens=6000,
+    )
     spark.catalog.clearCache()
 
     # the cascade is reported as its own top-level block, NOT summed into
     # the headline total: the total's query set is held fixed across rounds
     # so round-over-round comparisons stay apples-to-apples
-    cascade = run_cascade_synth(spark, synth_docs)
+    cascade = run_cascade_synth(spark, synth_docs, repeats=pipe_repeats)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -191,11 +252,21 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": {"queries": repeats, "pipelines": pipe_repeats, "record": "best"},
         "dedup_synth": {
             "docs": synth["docs"],
             "docs_per_sec": round(synth["docs_per_sec"], 1),
             "clusters": synth["clusters"],
             "stage_seconds": synth["stage_seconds"],
+        },
+        "dedup_synth_long": {
+            "seconds": round(synth_long["seconds"], 3),
+            "docs": synth_long["docs"],
+            "docs_per_sec": round(synth_long["docs_per_sec"], 1),
+            "clusters": synth_long["clusters"],
+            "stage_seconds": synth_long["stage_seconds"],
+            "estimate_gate": synth_long["estimate_gate"],
+            "gated_pairs": synth_long["gated_pairs"],
         },
         "dedup_cascade": {
             "seconds": round(cascade["seconds"], 3),
