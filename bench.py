@@ -21,7 +21,7 @@ the round's number. The recorded artifact is therefore BEST-OF-K with the
 repeats INTERLEAVED (round-robin over the whole query set, K full rounds):
 a noise burst lands on one round of everything rather than all samples of
 one query. K = $SPARK_GRAFT_REPEATS (default 3) for the headline queries,
-$SPARK_GRAFT_PIPE_REPEATS (default 2) for the pipeline/cascade blocks.
+$SPARK_GRAFT_PIPE_REPEATS (default 3) for the pipeline/cascade blocks.
 """
 
 from __future__ import annotations
@@ -189,7 +189,7 @@ def main() -> None:
     ]
 
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
-    pipe_repeats = int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS", "2"))
+    pipe_repeats = int(os.environ.get("SPARK_GRAFT_PIPE_REPEATS", "3"))
 
     # embedding near-dup is benched on the SCALE path (multi-table hyperplane
     # LSH + exact verify, recall/precision cross-checked by q63's oracle) —
