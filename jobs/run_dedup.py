@@ -112,7 +112,9 @@ def main(argv=None) -> dict:
         from nhse_probabilistic_linkage_spark.plans.tiers import metrics_df, tiered_dedup
 
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
-        result = tiered_dedup(pages, cfg, embeddings=emb)
+        # --checkpoint-dir makes the cascade resumable too: completed tiers'
+        # drops tables are reused, the manifest pins config + input
+        result = tiered_dedup(pages, cfg, embeddings=emb, checkpoint_dir=args.checkpoint_dir)
         os.makedirs(args.output, exist_ok=True)
         result["status"].write.mode("overwrite").parquet(os.path.join(args.output, "status"))
         result["survivors"].write.mode("overwrite").parquet(

@@ -37,6 +37,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -54,6 +55,7 @@ class TierMetric:
     n_dropped: int
     n_out: int
     seconds: float = 0.0
+    resumed: bool = False
 
 
 def _cluster_drops(ids: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
@@ -77,6 +79,8 @@ def tiered_dedup(
     cosine_threshold: float = 0.95,
     exact_cosine: bool = False,
     collect_metrics: bool = True,
+    checkpoint_dir: str | None = None,
+    input_fingerprint: str | None = None,
 ) -> dict:
     """Run the cascade. Returns dict with:
 
@@ -103,11 +107,82 @@ def tiered_dedup(
     accounting comes from ONE final groupBy over the status table;
     per-tier seconds are 0.0 by construction. The status/survivors output
     is bit-identical between the two modes (pinned in tests/test_tiers.py).
+
+    `checkpoint_dir` makes the cascade RESUMABLE (same contract as
+    DedupPipeline's stage checkpoints): each tier's drops table — the only
+    artifact that is expensive to recompute — is written to durable parquet
+    under the dir, and a manifest pins the config JSON, the cascade
+    parameters, and an input fingerprint (count + id checksum computed when
+    none is passed). A re-run with the same dir skips every completed
+    tier's detector entirely (TierMetric.resumed = True); a run with a
+    different config, parameters, or input starts fresh — stale tier drops
+    are never reused. Survivor id sets are NOT persisted: they derive from
+    the saved drops by narrow anti-joins, which costs one cheap join per
+    tier on resume instead of double the checkpoint footprint. Durable tier
+    writes are eager by nature, so `collect_metrics=False` with a
+    checkpoint_dir still materializes once per tier — durability and a
+    fully fused plan are mutually exclusive by construction.
     """
     import time
 
+    spark = docs.sparkSession
+
     def _cut(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=collect_metrics)
+
+    # ---- durable-resume control plane (mirrors DedupPipeline._materialize;
+    # shares sources/fs so file:/hdfs:/s3a: dirs all work) ------------------
+    manifest: dict | None = None
+    resumed_tiers: set[str] = set()
+    if checkpoint_dir is not None:
+        from nhse_probabilistic_linkage_spark.sources import fs
+
+        params = {
+            "config": config.to_json(),
+            "id_col": id_col,
+            "text_col": text_col,
+            "has_embeddings": embeddings is not None,
+            "vec_col": vec_col,
+            "cosine_threshold": cosine_threshold,
+            "exact_cosine": exact_cosine,
+        }
+        if input_fingerprint is None:
+            row = docs.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64(F.col(id_col).cast("long")).cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            input_fingerprint = f"n={row['n']},h={row['h']}"
+        mpath = fs.join(checkpoint_dir, "cascade_manifest.json")
+        fresh = {"params": params, "input": input_fingerprint, "done": []}
+        manifest = fresh
+        raw = fs.read_text(spark, mpath)
+        if raw is not None:
+            m = json.loads(raw)
+            if m.get("params") == params and m.get("input") == input_fingerprint:
+                manifest = m
+
+        def _save_manifest() -> None:
+            fs.mkdirs(spark, checkpoint_dir)
+            fs.write_text(spark, mpath, json.dumps(manifest, indent=2))
+
+    def _durable(name: str, build) -> DataFrame:
+        """Persist a tier's drops table durably (or localCheckpoint-cut it
+        when no checkpoint_dir). `build` is a thunk: several detectors do
+        EAGER work at plan-construction time (candidate_pairs cuts its own
+        output; the semantic tier checkpoints + probes the embedding table),
+        so on resume the detector must never even be constructed."""
+        if checkpoint_dir is None:
+            return _cut(build())
+        from nhse_probabilistic_linkage_spark.sources import fs
+
+        path = fs.join(checkpoint_dir, name)
+        if name in manifest["done"]:
+            resumed_tiers.add(name)
+            return spark.read.parquet(path)
+        build().write.mode("overwrite").parquet(path)
+        manifest["done"].append(name)
+        _save_manifest()
+        return spark.read.parquet(path)
 
     ids0 = _cut(docs.select(F.col(id_col).cast("long").alias(id_col)))
     metrics: list[TierMetric] = []
@@ -116,62 +191,78 @@ def tiered_dedup(
         t_tier = time.monotonic()
 
     # ---- tier 1: exact (128-bit fingerprint groupBy) ----------------------
-    groups = exact_dedup(docs, id_col=id_col, text_col=text_col)
-    exact_drops = _cut(
-        groups.where(F.col(id_col) != F.col("rep_id"))
-        .select(F.col(id_col).cast("long").alias(id_col), F.col("rep_id").cast("long").alias("canonical_id"))
-    )
+    def _build_exact() -> DataFrame:
+        groups = exact_dedup(docs, id_col=id_col, text_col=text_col)
+        return groups.where(F.col(id_col) != F.col("rep_id")).select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("rep_id").cast("long").alias("canonical_id"),
+        )
+
+    exact_drops = _durable("exact_drops", _build_exact)
     surv1 = _cut(ids0.join(exact_drops.select(id_col), id_col, "left_anti"))
     if collect_metrics:
         n1 = surv1.count()
         # tier walls are meaningful: each tier ends in eager checkpoints + count
-        metrics.append(TierMetric("exact", n0, n0 - n1, n1, time.monotonic() - t_tier))
+        metrics.append(
+            TierMetric("exact", n0, n0 - n1, n1, time.monotonic() - t_tier,
+                       resumed="exact_drops" in resumed_tiers)
+        )
         t_tier = time.monotonic()
 
     # ---- tier 2: near (MinHash LSH + exact-Jaccard verify) ----------------
-    docs1 = docs.join(surv1, id_col, "left_semi")
-    pairs, _dropped_bands = minhash_lsh_pairs(docs1, config, id_col=id_col, text_col=text_col)
-    near_drops = _cut(
-        _cluster_drops(
+    def _build_near() -> DataFrame:
+        docs1 = docs.join(surv1, id_col, "left_semi")
+        pairs, _dropped_bands = minhash_lsh_pairs(docs1, config, id_col=id_col, text_col=text_col)
+        return _cluster_drops(
             surv1, pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
         )
-    )
+
+    near_drops = _durable("near_drops", _build_near)
     surv2 = _cut(surv1.join(near_drops.select(id_col), id_col, "left_anti"))
     if collect_metrics:
         n2 = surv2.count()
-        metrics.append(TierMetric("near", n1, n1 - n2, n2, time.monotonic() - t_tier))
+        metrics.append(
+            TierMetric("near", n1, n1 - n2, n2, time.monotonic() - t_tier,
+                       resumed="near_drops" in resumed_tiers)
+        )
         t_tier = time.monotonic()
 
     # ---- tier 3: semantic (embedding cosine), optional --------------------
     if embeddings is not None:
-        from nhse_probabilistic_linkage_spark.operators.similarity import embedding_neardup_pairs
 
-        # eager cut: the emptiness probe AND the multi-table LSH below each
-        # scan this table; without the cut the caller's embedding lineage
-        # (often a derived/featurized expression, not a parquet read)
-        # re-executes per scan
-        emb2 = (
-            embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col)
-            .join(surv2, id_col, "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        if emb2.isEmpty():
-            # every embedded doc fell in an earlier tier: no semantic edges
-            # (and the LSH path's dimension inference has no row to probe)
-            epairs = docs.sparkSession.createDataFrame([], "id_l long, id_r long")
-        else:
-            epairs = embedding_neardup_pairs(
-                emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col, exact=exact_cosine
+        def _build_semantic() -> DataFrame:
+            from nhse_probabilistic_linkage_spark.operators.similarity import embedding_neardup_pairs
+
+            # eager cut: the emptiness probe AND the multi-table LSH below
+            # each scan this table; without the cut the caller's embedding
+            # lineage (often a derived/featurized expression, not a parquet
+            # read) re-executes per scan
+            emb2 = (
+                embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+                .join(surv2, id_col, "left_semi")
+                .localCheckpoint(eager=True)
             )
-        sem_drops = _cut(
-            _cluster_drops(
+            if emb2.isEmpty():
+                # every embedded doc fell in an earlier tier: no semantic
+                # edges (and the LSH path's dimension inference has no row
+                # to probe)
+                epairs = docs.sparkSession.createDataFrame([], "id_l long, id_r long")
+            else:
+                epairs = embedding_neardup_pairs(
+                    emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col, exact=exact_cosine
+                )
+            return _cluster_drops(
                 surv2, epairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
             )
-        )
+
+        sem_drops = _durable("sem_drops", _build_semantic)
         surv3 = _cut(surv2.join(sem_drops.select(id_col), id_col, "left_anti"))
         if collect_metrics:
             n3 = surv3.count()
-            metrics.append(TierMetric("semantic", n2, n2 - n3, n3, time.monotonic() - t_tier))
+            metrics.append(
+                TierMetric("semantic", n2, n2 - n3, n3, time.monotonic() - t_tier,
+                           resumed="sem_drops" in resumed_tiers)
+            )
     else:
         sem_drops = None
         surv3 = surv2
@@ -218,9 +309,11 @@ def tiered_dedup(
         status = status.localCheckpoint(eager=False)
         counts = {r["tier"]: r["n"] for r in status.groupBy("tier").agg(F.count("*").alias("n")).collect()}
         n_in = sum(counts.values())
+        _drop_name = {"exact": "exact_drops", "near": "near_drops", "semantic": "sem_drops"}
         for tier in ("exact", "near", *(("semantic",) if embeddings is not None else ())):
             d = counts.get(tier, 0)
-            metrics.append(TierMetric(tier, n_in, d, n_in - d))
+            metrics.append(TierMetric(tier, n_in, d, n_in - d,
+                                      resumed=_drop_name[tier] in resumed_tiers))
             n_in -= d
 
     survivors = docs.join(surv3, id_col, "left_semi")
@@ -230,6 +323,9 @@ def tiered_dedup(
 def metrics_df(spark, metrics: list[TierMetric]) -> DataFrame:
     """Per-tier accounting as a DataFrame (for writing next to the output)."""
     return spark.createDataFrame(
-        [(m.tier, m.n_in, m.n_dropped, m.n_out, round(m.seconds, 3)) for m in metrics],
-        "tier string, n_in long, n_dropped long, n_out long, seconds double",
+        [
+            (m.tier, m.n_in, m.n_dropped, m.n_out, round(m.seconds, 3), m.resumed)
+            for m in metrics
+        ],
+        "tier string, n_in long, n_dropped long, n_out long, seconds double, resumed boolean",
     )

@@ -54,7 +54,9 @@ def test_two_tier_cascade(spark, corpus):
     for t in out["metrics"]:
         assert t.n_in - t.n_dropped == t.n_out
     mdf = metrics_df(spark, out["metrics"])
-    assert mdf.count() == 2 and set(mdf.columns) == {"tier", "n_in", "n_dropped", "n_out", "seconds"}
+    assert mdf.count() == 2 and set(mdf.columns) == {
+        "tier", "n_in", "n_dropped", "n_out", "seconds", "resumed"
+    }
 
 
 def test_semantic_tier_and_chain_resolution(spark, corpus):
@@ -134,3 +136,64 @@ def test_fused_mode_identical_status_and_accounting(spark, corpus):
     surv_a = sorted(r["doc_id"] for r in a["survivors"].collect())
     surv_b = sorted(r["doc_id"] for r in b["survivors"].collect())
     assert surv_a == surv_b
+
+
+def _status_rows(out):
+    return sorted(tuple(r) for r in out["status"].collect())
+
+
+def test_cascade_checkpoint_resume(spark, corpus, tmp_path):
+    """Durable cascade resume: a re-run with the same dir skips every tier's
+    detector (resumed=True, identical output); a manifest truncated to tier 1
+    (simulated crash between tiers) resumes exact and recomputes the rest;
+    a config change invalidates everything."""
+    import json
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.01]), (4, [0.0, 1.0, 0.0]), (6, [0.99, 0.0, 0.05])],
+        "doc_id long, embedding array<double>",
+    )
+    kw = dict(embeddings=emb, cosine_threshold=0.99, exact_cosine=True)
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    ckpt = str(tmp_path / "cascade_ckpt")
+
+    base = tiered_dedup(corpus, cfg, **kw)  # no checkpoint dir: the contract
+    a = tiered_dedup(corpus, cfg, checkpoint_dir=ckpt, **kw)
+    assert [t.resumed for t in a["metrics"]] == [False, False, False]
+    assert _status_rows(a) == _status_rows(base)
+
+    b = tiered_dedup(corpus, cfg, checkpoint_dir=ckpt, **kw)
+    assert [t.resumed for t in b["metrics"]] == [True, True, True]
+    assert _status_rows(b) == _status_rows(base)
+
+    # crash between tier 1 and 2: manifest only records exact_drops
+    mp = tmp_path / "cascade_ckpt" / "cascade_manifest.json"
+    m = json.loads(mp.read_text())
+    m["done"] = ["exact_drops"]
+    mp.write_text(json.dumps(m))
+    c = tiered_dedup(corpus, cfg, checkpoint_dir=ckpt, **kw)
+    assert {t.tier: t.resumed for t in c["metrics"]} == {
+        "exact": True, "near": False, "semantic": False
+    }
+    assert _status_rows(c) == _status_rows(base)
+
+    # different config -> stale tier drops must never be reused
+    d = tiered_dedup(corpus, DedupConfig(jaccard_threshold=0.9), checkpoint_dir=ckpt, **kw)
+    assert [t.resumed for t in d["metrics"]] == [False, False, False]
+
+
+def test_cascade_checkpoint_resume_fused_mode(spark, corpus, tmp_path):
+    """checkpoint_dir + collect_metrics=False: durable writes are eager by
+    construction, but the accounting still comes from the one final groupBy
+    and resume still skips the detectors."""
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    ckpt = str(tmp_path / "fused_ckpt")
+    base = tiered_dedup(corpus, cfg)
+    a = tiered_dedup(corpus, cfg, collect_metrics=False, checkpoint_dir=ckpt)
+    b = tiered_dedup(corpus, cfg, collect_metrics=False, checkpoint_dir=ckpt)
+    assert [t.resumed for t in a["metrics"]] == [False, False]
+    assert [t.resumed for t in b["metrics"]] == [True, True]
+    assert _status_rows(a) == _status_rows(base)
+    assert _status_rows(b) == _status_rows(base)
+    acc = [(t.tier, t.n_in, t.n_dropped, t.n_out) for t in b["metrics"]]
+    assert acc == [(t.tier, t.n_in, t.n_dropped, t.n_out) for t in base["metrics"]]
