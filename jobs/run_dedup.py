@@ -109,7 +109,11 @@ def main(argv=None) -> dict:
     pages = pages.withColumn("doc_id", F.xxhash64("url")).localCheckpoint(eager=True)
 
     if args.mode == "cascade":
-        from nhse_probabilistic_linkage_spark.plans.tiers import metrics_df, tiered_dedup
+        from nhse_probabilistic_linkage_spark.plans.tiers import (
+            lineage_df,
+            metrics_df,
+            tiered_dedup,
+        )
 
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
         # --checkpoint-dir makes the cascade resumable too: completed tiers'
@@ -123,6 +127,10 @@ def main(argv=None) -> dict:
         metrics_df(spark, result["metrics"]).write.mode("overwrite").parquet(
             os.path.join(args.output, "tier_metrics")
         )
+        if result["lineage"]:
+            lineage_df(spark, result["lineage"]).write.mode("overwrite").parquet(
+                os.path.join(args.output, "tier_lineage")
+            )
         if prefilter_metrics is not None:
             prefilter_metrics.write.mode("overwrite").parquet(
                 os.path.join(args.output, "prefilter_drops")

@@ -165,6 +165,21 @@ def tiered_dedup(
             fs.mkdirs(spark, checkpoint_dir)
             fs.write_text(spark, mpath, json.dumps(manifest, indent=2))
 
+    lineage_rows: list[tuple] = []
+
+    def _record_lineage(name: str, out: DataFrame) -> None:
+        """Per-partition row counts for a tier's drops table (the pipeline's
+        per-partition lineage contract, extended to the cascade). Metrics
+        mode only — the fused production plan takes no extra jobs."""
+        if not collect_metrics:
+            return
+        for r in (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ):
+            lineage_rows.append((name, int(r["partition_id"]), int(r["rows"])))
+
     def _durable(name: str, build) -> DataFrame:
         """Persist a tier's drops table durably (or localCheckpoint-cut it
         when no checkpoint_dir). `build` is a thunk: several detectors do
@@ -172,7 +187,9 @@ def tiered_dedup(
         output; the semantic tier checkpoints + probes the embedding table),
         so on resume the detector must never even be constructed."""
         if checkpoint_dir is None:
-            return _cut(build())
+            out = _cut(build())
+            _record_lineage(name, out)
+            return out
         from nhse_probabilistic_linkage_spark.sources import fs
 
         path = fs.join(checkpoint_dir, name)
@@ -182,7 +199,9 @@ def tiered_dedup(
         build().write.mode("overwrite").parquet(path)
         manifest["done"].append(name)
         _save_manifest()
-        return spark.read.parquet(path)
+        out = spark.read.parquet(path)
+        _record_lineage(name, out)
+        return out
 
     ids0 = _cut(docs.select(F.col(id_col).cast("long").alias(id_col)))
     metrics: list[TierMetric] = []
@@ -317,7 +336,21 @@ def tiered_dedup(
             n_in -= d
 
     survivors = docs.join(surv3, id_col, "left_semi")
-    return {"status": status, "survivors": survivors, "metrics": metrics}
+    return {
+        "status": status,
+        "survivors": survivors,
+        "metrics": metrics,
+        # (drops_table, partition_id, rows) triples; empty in fused mode and
+        # for resumed tiers (their lineage was recorded by the producing run)
+        "lineage": lineage_rows,
+    }
+
+
+def lineage_df(spark, lineage_rows: list[tuple]) -> DataFrame:
+    """Per-partition lineage as a DataFrame (for the metrics sink)."""
+    return spark.createDataFrame(
+        lineage_rows or [], "table string, partition_id int, rows long"
+    )
 
 
 def metrics_df(spark, metrics: list[TierMetric]) -> DataFrame:

@@ -197,3 +197,23 @@ def test_cascade_checkpoint_resume_fused_mode(spark, corpus, tmp_path):
     assert _status_rows(b) == _status_rows(base)
     acc = [(t.tier, t.n_in, t.n_dropped, t.n_out) for t in b["metrics"]]
     assert acc == [(t.tier, t.n_in, t.n_dropped, t.n_out) for t in base["metrics"]]
+
+
+def test_cascade_lineage_rows(spark, corpus):
+    """Metrics mode records per-partition lineage for every tier's drops
+    table; totals must equal the drop accounting. Fused mode records none
+    (no extra jobs by construction)."""
+    from nhse_probabilistic_linkage_spark.plans.tiers import lineage_df
+
+    out = tiered_dedup(corpus, DedupConfig(jaccard_threshold=0.7))
+    by_table = {}
+    for table, _pid, rows in out["lineage"]:
+        by_table[table] = by_table.get(table, 0) + rows
+    m = {t.tier: t for t in out["metrics"]}
+    assert by_table.get("exact_drops", 0) == m["exact"].n_dropped
+    assert by_table.get("near_drops", 0) == m["near"].n_dropped
+    ldf = lineage_df(spark, out["lineage"])
+    assert set(ldf.columns) == {"table", "partition_id", "rows"}
+
+    fused = tiered_dedup(corpus, DedupConfig(jaccard_threshold=0.7), collect_metrics=False)
+    assert fused["lineage"] == []
