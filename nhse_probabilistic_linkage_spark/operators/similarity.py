@@ -123,9 +123,13 @@ def embedding_neardup_pairs(
         slim = slim.localCheckpoint(eager=True)
         if dim is None:
             dim = len(slim.select(vec_col).first()[0])
-        # size the tables from the collision model at this threshold unless
-        # the caller pins them
-        auto_planes, auto_tables = lsh_params_for_threshold(threshold)
+        # size the tables from the collision model at this threshold AND the
+        # corpus density (see lsh_params_for_threshold: fixed planes make the
+        # random-collision candidate tail quadratic in n) unless the caller
+        # pins them; the count is one cheap job over the just-cut table
+        auto_planes, auto_tables = lsh_params_for_threshold(
+            threshold, n_docs=slim.count()
+        )
         n_planes = n_planes if n_planes is not None else auto_planes
         n_tables = n_tables if n_tables is not None else auto_tables
         bucket = make_hyperplane_udf(dim, n_planes=n_planes, seed=seed, n_tables=n_tables)
@@ -273,7 +277,8 @@ def ivf_topk(
 
 
 def lsh_params_for_threshold(threshold: float, target_recall: float = 0.95,
-                             n_planes: int | None = None) -> tuple[int, int]:
+                             n_planes: int | None = None,
+                             n_docs: int | None = None) -> tuple[int, int]:
     """(n_planes, n_tables) sized from the hyperplane-LSH collision model.
 
     Per-table collision prob for a pair at cosine=threshold is
@@ -282,6 +287,25 @@ def lsh_params_for_threshold(threshold: float, target_recall: float = 0.95,
     largest value keeping a single table's p >= 0.15 (selectivity vs table
     count tradeoff); n_tables then follows from the target recall. The exact
     cosine verify keeps precision at 1.0 regardless.
+
+    `n_docs` adds the CORPUS-DENSITY floor: an unrelated pair collides in a
+    table with prob ~2^-n_planes for ideal (spherically symmetric) vectors,
+    so expected random candidates are ~n^2/2 * 2^-P * L — QUADRATIC in n at
+    fixed P. Keeping P >= log2(n) + margin pins the random tail to ~O(n*L).
+    Measured at 1M synthetic docs (hash-of-prefix embeddings), P=24 emitted
+    7.5M below-threshold candidates (not bucket skew — max bucket size was
+    57), and the exact-verify join over those pairs is what made the
+    cascade's semantic tier super-linear from 1M->4M docs; P=28/T=18 cut
+    unique candidates 5.2x (7.47M -> 1.45M) at the same modeled recall.
+    The measured per-extra-plane discrimination was ~0.75, not the ideal
+    0.5 (correlated sign patterns), hence the +8 margin rather than +4.
+    More planes cost more tables (recall model above) but tables scale the
+    LINEAR bucket rows, not the quadratic pair tail — the right trade at
+    large corpus sizes. The floor engages only at >= 64k docs (below that
+    the quadratic tail is negligible and every existing small-scale result
+    is bit-identical), and is clamped so the required table count stays
+    within the 64-table cap at target_recall — low thresholds (small p1)
+    cannot afford extra planes and are documented exact-join territory.
     """
     import math
 
@@ -290,6 +314,19 @@ def lsh_params_for_threshold(threshold: float, target_recall: float = 0.95,
     if n_planes is None:
         n_planes = max(1, int(math.log(0.15) / math.log(p1))) if p1 < 1.0 else 16
         n_planes = min(n_planes, 24)
+        if n_docs is not None and n_docs >= 65536 and 0.0 < p1 < 1.0:
+            # two guards on the floor: (a) under 64k docs the quadratic tail
+            # is too small to matter — keep the plain threshold sizing;
+            # (b) never push planes past what the 64-table cap can
+            # compensate at target_recall (p_min = per-table collision prob
+            # that still reaches the target with 64 tables) — at LOW
+            # thresholds (p1 far from 1) extra planes cost recall
+            # exponentially, and that regime is documented as
+            # exact-join territory, not more-planes territory
+            density_floor = math.ceil(math.log2(n_docs)) + 8
+            p_min = 1.0 - (1.0 - target_recall) ** (1.0 / 64.0)
+            compensable = max(n_planes, int(math.log(p_min) / math.log(p1)))
+            n_planes = min(max(n_planes, density_floor), compensable, 48)
     p = p1 ** n_planes
     if p >= 1.0:
         return n_planes, 1

@@ -81,6 +81,8 @@ def tiered_dedup(
     collect_metrics: bool = True,
     checkpoint_dir: str | None = None,
     input_fingerprint: str | None = None,
+    cosine_planes: int | None = None,
+    cosine_tables: int | None = None,
 ) -> dict:
     """Run the cascade. Returns dict with:
 
@@ -145,6 +147,8 @@ def tiered_dedup(
             "vec_col": vec_col,
             "cosine_threshold": cosine_threshold,
             "exact_cosine": exact_cosine,
+            "cosine_planes": cosine_planes,
+            "cosine_tables": cosine_tables,
         }
         if input_fingerprint is None:
             row = docs.agg(
@@ -267,8 +271,16 @@ def tiered_dedup(
                 # to probe)
                 epairs = docs.sparkSession.createDataFrame([], "id_l long, id_r long")
             else:
+                # n_planes/n_tables: None lets the operator auto-size from
+                # the threshold AND the surviving-corpus density (fixed
+                # planes make the random-collision candidate tail quadratic
+                # in n — see similarity.lsh_params_for_threshold); the
+                # explicit knobs exist because hash-derived or otherwise
+                # non-spherical embedding distributions discriminate less
+                # per plane than the model assumes
                 epairs = embedding_neardup_pairs(
-                    emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col, exact=exact_cosine
+                    emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col,
+                    exact=exact_cosine, n_planes=cosine_planes, n_tables=cosine_tables,
                 )
             return _cluster_drops(
                 surv2, epairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
