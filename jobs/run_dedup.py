@@ -72,6 +72,14 @@ def parse_args(argv=None):
     )
     p.add_argument("--min-quality", type=float, default=None,
                    help="with --prefilter: drop docs under this quality score")
+    p.add_argument(
+        "--fused",
+        action="store_true",
+        help="production plan shape (collect_metrics=False): lazy stage/tier "
+        "handoffs, no per-stage count barriers or lineage scans; outputs are "
+        "bit-identical (test-pinned) but per-stage walls/lineage are not "
+        "recorded. With --checkpoint-dir the durable writes stay eager.",
+    )
     return p.parse_args(argv)
 
 
@@ -118,7 +126,8 @@ def main(argv=None) -> dict:
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
         # --checkpoint-dir makes the cascade resumable too: completed tiers'
         # drops tables are reused, the manifest pins config + input
-        result = tiered_dedup(pages, cfg, embeddings=emb, checkpoint_dir=args.checkpoint_dir)
+        result = tiered_dedup(pages, cfg, embeddings=emb, checkpoint_dir=args.checkpoint_dir,
+                              collect_metrics=not args.fused)
         os.makedirs(args.output, exist_ok=True)
         result["status"].write.mode("overwrite").parquet(os.path.join(args.output, "status"))
         result["survivors"].write.mode("overwrite").parquet(
@@ -156,7 +165,8 @@ def main(argv=None) -> dict:
     pipe = None
     out = {}
     if "minhash" in detectors:
-        pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
+        pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir,
+                             collect_metrics=not args.fused)
         out = pipe.run(pages)
 
     detector_tables: dict[str, object] = {}

@@ -59,11 +59,28 @@ class DedupPipeline:
         checkpoint_dir: str | None = None,
         id_col: str = "doc_id",
         compute_simhash: bool = False,
+        collect_metrics: bool = True,
     ):
         self.spark = spark
         self.config = config or DedupConfig()
         self.checkpoint_dir = checkpoint_dir
         self.id_col = id_col
+        # collect_metrics=True (the evaluation shape): every stage boundary is
+        # an EAGER cut plus one count/lineage job, so StageMetric.seconds are
+        # honest per-stage walls and the per-partition lineage table is
+        # complete. collect_metrics=False is the PRODUCTION shape (same
+        # contract as plans.tiers.tiered_dedup): stage cuts become lazy
+        # localCheckpoints — still cutting lineage at exactly the same
+        # boundaries once materialized by the first consumer, but with no
+        # serial count barriers and no extra full scan of each stage's wide
+        # output (at 100 TB each lineage job re-reads the whole stage from the
+        # block store). Accounting that must never be silent (dropped bands,
+        # gated-out pairs, the adaptive-gate decision) is still recorded; the
+        # per-stage rows/seconds metrics are not. Outputs are bit-identical
+        # between the modes (pinned in tests/test_pipeline.py). With a
+        # checkpoint_dir the stage writes stay durable (and therefore eager) —
+        # durability and a fully fused plan are mutually exclusive.
+        self.collect_metrics = collect_metrics
         # the MinHash detector never reads simhash, and the standalone
         # simhash detector (operators.dedup.simhash_pairs) computes its own —
         # so the second Arrow kernel (~40% of the signatures stage) runs only
@@ -133,13 +150,14 @@ class DedupPipeline:
         elif already_cut:
             out = df
         else:
-            out = df.localCheckpoint(eager=True)
-        # ONE job serves both the stage row count and the per-partition
-        # lineage counters (rows = sum of partition counts) — stage barriers
-        # are serial floor, and the N->4N efficiency criterion pays for every
-        # one of them
-        rows = self._record_lineage(stage, out)
-        self.metrics.append(StageMetric(stage, rows, time.monotonic() - t0))
+            out = df.localCheckpoint(eager=self.collect_metrics)
+        if self.collect_metrics:
+            # ONE job serves both the stage row count and the per-partition
+            # lineage counters (rows = sum of partition counts) — stage
+            # barriers are serial floor, and the N->4N efficiency criterion
+            # pays for every one of them
+            rows = self._record_lineage(stage, out)
+            self.metrics.append(StageMetric(stage, rows, time.monotonic() - t0))
         manifest["done"].append(stage)
         self._save_manifest(manifest)
         return out

@@ -244,3 +244,28 @@ def test_per_partition_lineage(spark, corpus, tmp_path):
     pipe2.run(pages)
     assert all(m.extra.get("resumed") for m in pipe2.metrics)
     assert pipe2.lineage_rows == []
+
+def test_fused_pipeline_identical_output(spark, corpus):
+    """collect_metrics=False (production shape: lazy stage cuts, no per-stage
+    count/lineage jobs) must produce bit-identical canonical assignments to
+    the metered shape, while still recording the never-silent accounting
+    (the adaptive-gate decision) and none of the per-stage row metrics."""
+    pages, _ = corpus
+    metered = DedupPipeline(spark, DedupConfig())
+    a = metered.run(pages)
+    fused = DedupPipeline(spark, DedupConfig(), collect_metrics=False)
+    b = fused.run(pages)
+
+    rows_a = sorted(map(tuple, a["canonical"].collect()))
+    rows_b = sorted(map(tuple, b["canonical"].collect()))
+    assert rows_a == rows_b
+
+    stages = {m.stage for m in fused.metrics}
+    assert "verified.estimate_gate" in stages  # accounting still present
+    assert not stages & set(STAGES_EXPECTED), stages  # no per-stage metrics
+    assert fused.lineage_rows == []
+    # the metered run recorded every stage
+    assert set(STAGES_EXPECTED) <= {m.stage for m in metered.metrics}
+
+
+STAGES_EXPECTED = ("prepare", "signatures", "pairs", "verified", "clusters", "canonical")

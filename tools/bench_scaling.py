@@ -44,18 +44,21 @@ spark.range(10000).selectExpr("count(xxhash64(id))").collect()
 pages, _ = synth_pages(spark, {n_docs}, seed=42, partitions=64, min_tokens={min_tokens}, max_tokens={max_tokens})
 pages = pages.select("url", "text").localCheckpoint(eager=True)
 t0 = time.monotonic()
-out = DedupPipeline(spark, DedupConfig()).run(pages)
-n = out["clusters"].count()
+out = DedupPipeline(spark, DedupConfig(), collect_metrics={metered!r} == "metered").run(pages)
+# canonical is the final stage; counting it materializes the whole chain in
+# BOTH modes (in fused mode nothing upstream was eagerly forced)
+n = out["canonical"].count()
 el = time.monotonic() - t0
 print("RESULT " + json.dumps({{"cpus": cpus, "seconds": el, "docs": {n_docs}, "docs_per_sec": {n_docs}/el, "rows": n}}))
 spark.stop()
 """
 
 
-def run_once(cpus: int, n_docs: int, min_tokens: int, max_tokens: int) -> dict:
+def run_once(cpus: int, n_docs: int, min_tokens: int, max_tokens: int,
+             mode: str = "metered") -> dict:
     env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")  # equal heap per run
     code = _CHILD.format(repo=REPO, cpus=cpus, n_docs=n_docs,
-                         min_tokens=min_tokens, max_tokens=max_tokens)
+                         min_tokens=min_tokens, max_tokens=max_tokens, metered=mode)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, env=env
     )
@@ -68,7 +71,8 @@ def run_once(cpus: int, n_docs: int, min_tokens: int, max_tokens: int) -> dict:
     return result
 
 
-def run_pair(n: int, n_docs: int, repeats: int, min_tokens: int, max_tokens: int):
+def run_pair(n: int, n_docs: int, repeats: int, min_tokens: int, max_tokens: int,
+             mode: str = "metered"):
     """INTERLEAVED best-of-N: host noise arrives in episodic windows, so the
     two parallelism levels alternate run-for-run (A,B,A,B,...) — a noise
     burst then lands on both sides instead of one. Best (min) wall per side
@@ -77,7 +81,7 @@ def run_pair(n: int, n_docs: int, repeats: int, min_tokens: int, max_tokens: int
     hi = {"all_runs_seconds": []}
     for _ in range(repeats):
         for cpus, slot in ((n, lo), (4 * n, hi)):
-            r = run_once(cpus, n_docs, min_tokens, max_tokens)
+            r = run_once(cpus, n_docs, min_tokens, max_tokens, mode=mode)
             slot["all_runs_seconds"].append(round(r["seconds"], 2))
             if "seconds" not in slot or r["seconds"] < slot["seconds"]:
                 slot.update({k: v for k, v in r.items()})
@@ -90,12 +94,19 @@ def main() -> None:
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     min_tokens = int(sys.argv[4]) if len(sys.argv) > 4 else 40
     max_tokens = int(sys.argv[5]) if len(sys.argv) > 5 else 120
-    lo, hi = run_pair(n, n_docs, repeats, min_tokens, max_tokens)
+    # "metered" = evaluation shape (eager per-stage barriers + count/lineage
+    # jobs; comparable with all pre-round-4 windows); "fused" = production
+    # shape (DedupPipeline collect_metrics=False: lazy stage cuts, no per-
+    # stage scans — the shape a 100 TB deployment runs, test-pinned to
+    # identical output). Windows must be compared within one mode.
+    mode = sys.argv[6] if len(sys.argv) > 6 else "metered"
+    assert mode in ("metered", "fused"), mode
+    lo, hi = run_pair(n, n_docs, repeats, min_tokens, max_tokens, mode=mode)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4
     print(json.dumps({
         "protocol": (
             f"identical job at local[{n}] and local[{4*n}], same input, equal 16g heap, "
-            f"interleaved best of {repeats} (host-noise robust)"
+            f"interleaved best of {repeats} (host-noise robust), {mode} pipeline shape"
         ),
         "n_docs": n_docs,
         "tokens_per_doc": [min_tokens, max_tokens],
