@@ -34,8 +34,15 @@ def _oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 def _check(spark, edges: list[tuple[int, int]]):
     df = spark.createDataFrame(edges, "src long, dst long")
+    # default path (local union-find finish once the frontier is small) and
+    # the pure distributed star loop must agree with the oracle — and each other
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == _oracle(edges)
+    dist = {
+        r.id: r.component
+        for r in connected_components(df, local_finish_edges=0).collect()
+    }
+    assert dist == got
 
 
 def test_cc_chain(spark):
@@ -66,6 +73,28 @@ def test_cc_self_loops_and_duplicates(spark):
 def test_cc_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_cc_local_finish_mid_loop_handoff(spark):
+    # threshold below the initial edge count but above the contracted
+    # frontier: the loop must run distributed star rounds first, then hand
+    # the shrunken frontier to the union-find — same assignment as both
+    # pure paths
+    rng = random.Random(7)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    oracle = _oracle(edges)
+    star_edges = len(oracle) - len(set(oracle.values()))  # converged frontier size
+    canon = len({(max(a, b), min(a, b)) for a, b in edges})
+    assert canon > star_edges  # premise: round 0 MUST run distributed...
+    df = spark.createDataFrame(edges, "src long, dst long")
+    mid = {
+        r.id: r.component
+        # ...and the frontier contracts to star_edges, so the union-find
+        # handoff is guaranteed to trigger before distributed convergence
+        for r in connected_components(df, local_finish_edges=star_edges).collect()
+    }
+    assert mid == oracle
 
 
 def test_assign_components_backfills_singletons(spark):
