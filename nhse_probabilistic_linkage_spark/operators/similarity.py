@@ -104,6 +104,10 @@ def embedding_neardup_pairs(
     seed: int = 42,
     exact: bool = False,
     n_tables: int | None = None,
+    band_cap: int | None = 5000,
+    salt_threshold: int | None = 500,
+    salt_groups: int = 8,
+    with_accounting: bool = False,
 ) -> DataFrame:
     """Pairs (id_l, id_r, cosine >= threshold).
 
@@ -112,7 +116,28 @@ def embedding_neardup_pairs(
     if it collides in ANY of the n_tables bucket tables (per-table collision
     prob ~(1 - theta/pi)^n_planes, union recall 1-(1-p)^L); the exact cosine
     then verifies, so approximation only ever costs recall, never precision.
+
+    Hot buckets ride the SAME routed machinery as hot MinHash bands: the
+    (id, table, bucket) rows go through lsh.candidate_pairs() — band_key =
+    bucket id, band_id = table index, exactly as substring.py reuses it for
+    winnowing fingerprints — so a bucket of m near-identical vectors (think
+    templated boilerplate pages with identical feature vectors) is
+    combination-exploded when cold, salted over `salt_groups` tasks when hot
+    (size > salt_threshold), and DROPPED WITH ACCOUNTING past `band_cap`
+    instead of emitting O(m^2) join rows. `lsh_params_for_threshold` bounds
+    *random* collisions via corpus-density plane sizing, but true duplicates
+    are the workload — the cap is what bounds those. Reference analog:
+    per-rule comparison counts,
+    notebooks_dedupe/blocking_evaluation_dedupe.py:154-175.
+
+    with_accounting=True returns (pairs, dropped_buckets) where
+    dropped_buckets = (band_key, band_size) rows for over-cap buckets —
+    never-silent recall accounting, same contract as MinHash dropped bands
+    (empty on the exact path, which enumerates all pairs).
     """
+    from nhse_probabilistic_linkage_spark.operators.lsh import candidate_pairs
+
+    dropped = df.sparkSession.createDataFrame([], "band_key bigint, band_size bigint")
     slim = df.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n"))
     if not exact:
         # eager cut: the vector table feeds the dim probe, the bucket UDF,
@@ -133,20 +158,27 @@ def embedding_neardup_pairs(
         n_planes = n_planes if n_planes is not None else auto_planes
         n_tables = n_tables if n_tables is not None else auto_tables
         bucket = make_hyperplane_udf(dim, n_planes=n_planes, seed=seed, n_tables=n_tables)
-        # the bucket self-join moves ONLY (id, bucket) — 16-byte rows. The
+        # the bucket join moves ONLY (id, table, bucket) — 20-byte rows. The
         # vectors would otherwise ride the join n_tables-times duplicated
         # (the verify_pairs lesson: join narrow, attach wide after dedup).
+        # posexplode's position IS the table index (one bucket per table), so
+        # the rows are exactly lsh.band_keys' shape and candidate_pairs can
+        # route/salt/cap hot buckets in its single band_key shuffle; it also
+        # eagerly cuts its own (deduped) pair output, so no extra checkpoint
+        # is needed here.
         bkts = slim.select(
-            F.col(id_col), F.explode(bucket(vec_col)).alias("_bkt")
-        ).localCheckpoint(eager=True)
-        cand = (
-            bkts.select("_bkt", F.col(id_col).alias("id_l"))
-            .join(bkts.select("_bkt", F.col(id_col).alias("id_r")), "_bkt")
-            .where(F.col("id_l") < F.col("id_r"))
-            .dropDuplicates(["id_l", "id_r"])
+            F.col(id_col), F.posexplode(bucket(vec_col)).alias("band_id", "band_key")
+        )
+        cand, dropped = candidate_pairs(
+            bkts,
+            id_col=id_col,
+            band_cap=band_cap,
+            salt_threshold=salt_threshold,
+            salt_groups=salt_groups,
         )
         cand = (
-            cand.join(
+            cand.drop("match_key")
+            .join(
                 slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl")),
                 "id_l",
             )
@@ -159,11 +191,12 @@ def embedding_neardup_pairs(
         l = slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl"))
         r = slim.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr"))
         cand = l.crossJoin(r).where(F.col("id_l") < F.col("id_r"))
-    return (
+    pairs = (
         cand.withColumn("cosine", dot_expr("_vl", "_vr") / (F.col("_nl") * F.col("_nr")))
         .where(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
     )
+    return (pairs, dropped) if with_accounting else pairs
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,42 @@ def test_lsh_neardup_finds_planted_neighbors(spark, vectors):
     assert na / ne >= 0.7, (na, ne)
 
 
+def test_lsh_hot_bucket_capped_with_accounting(spark):
+    """10k identical embeddings (degenerate boilerplate vectors) must NOT
+    emit O(m^2) bucket-join rows: the bucket routes through candidate_pairs'
+    cap machinery — dropped past band_cap with (band_key, band_size)
+    accounting, never silently (same contract as hot MinHash bands)."""
+    rng = np.random.default_rng(7)
+    base = [float(x) for x in rng.standard_normal(DIM)]
+    df = spark.createDataFrame(
+        [(i, base) for i in range(10_000)], "vec_id long, embedding array<double>"
+    )
+    pairs, dropped = embedding_neardup_pairs(
+        df, threshold=0.95, exact=False, dim=DIM, n_planes=8, n_tables=2,
+        band_cap=1000, with_accounting=True,
+    )
+    assert pairs.count() == 0  # every bucket over-cap -> zero pair emission
+    d = dropped.collect()
+    assert len(d) == 2  # one hot bucket per hash table
+    assert all(r["band_size"] == 10_000 for r in d)
+
+
+def test_lsh_hot_bucket_salted_keeps_all_pairs(spark):
+    """Buckets between salt_threshold and band_cap keep EVERY pair — the
+    salted self-join only spreads the emission across tasks."""
+    rng = np.random.default_rng(11)
+    base = [float(x) for x in rng.standard_normal(DIM)]
+    df = spark.createDataFrame(
+        [(i, base) for i in range(200)], "vec_id long, embedding array<double>"
+    )
+    pairs, dropped = embedding_neardup_pairs(
+        df, threshold=0.95, exact=False, dim=DIM, n_planes=8, n_tables=1,
+        band_cap=5000, salt_threshold=50, salt_groups=4, with_accounting=True,
+    )
+    assert pairs.count() == 200 * 199 // 2
+    assert dropped.count() == 0
+
+
 def test_tableio_roundtrip(spark, vectors, tmp_path):
     io = TableIO(spark, warehouse=str(tmp_path))
     io.write(vectors.select("vec_id", "true_cluster"), "vecs")
