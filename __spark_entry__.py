@@ -232,14 +232,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q12_order_counts_outer"] = q12_order_counts_outer
 
     def q13_null_handling(spark, sf_dir):
-        # coalesce / fillna / null-safe equality (SURVEY §2.2: eqNullSafe,
-        # reference tests/function_test_suite.py:140)
-        e = _t(spark, sf_dir, "events")
+        # coalesce / fillna / null-safe equality / asc_nulls_last ordering
+        # (SURVEY §2.2 + §2.6; reference tests/function_test_suite.py:140).
+        # fillna and the null-last rank run in the RECORDED query since r5,
+        # not only the overflow-checked q36 (round-4 verdict fix #2).
+        e = (
+            _t(spark, sf_dir, "events")
+            .withColumn("_v", F.col("value").cast("double"))
+            .fillna({"_v": -1.0})
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.asc_nulls_last(F.col("value").cast("double")), F.asc("event_id")
+        )
         return e.select(
             "event_id",
             F.coalesce(F.col("value").cast("double"), F.lit(-1.0)).alias("value_filled"),
+            F.col("_v").alias("value_fillna"),
             F.col("value").isNull().alias("value_missing"),
             F.col("value").eqNullSafe(F.lit(None).cast("double")).alias("null_safe_eq_null"),
+            F.row_number().over(w).alias("value_rank_in_type"),
         )
 
     q["q13_null_handling"] = q13_null_handling
@@ -404,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("lev_to_first"),
             F.concat_ws("|", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
             F.length(F.col("c_name")).alias("name_len"),
+            # startswith in the RECORDED query since r5 (round-4 verdict
+            # fix #2; previously only the overflow-checked q36 exercised it)
+            F.col("c_name").startswith("Customer#00000001").alias("name_prefix_match"),
         )
 
     q["q40_string_functions"] = q40_string_functions
@@ -1331,8 +1345,13 @@ def oracle_sql() -> dict[str, str]:
     o["q13_null_handling"] = """
         SELECT event_id,
                coalesce(CAST(value AS DOUBLE), -1.0) AS value_filled,
+               coalesce(CAST(value AS DOUBLE), -1.0) AS value_fillna,
                value IS NULL AS value_missing,
-               CAST(value AS DOUBLE) IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS null_safe_eq_null
+               CAST(value AS DOUBLE) IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS null_safe_eq_null,
+               CAST(row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY CAST(value AS DOUBLE) ASC NULLS LAST, event_id ASC
+               ) AS INT) AS value_rank_in_type
         FROM events
     """
 
@@ -1422,7 +1441,8 @@ def oracle_sql() -> dict[str, str]:
                coalesce(regexp_extract(c_name, '(\\d+)', 1), '') AS name_digits,
                levenshtein(c_name, 'Customer#000000001') AS lev_to_first,
                concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
-               length(c_name) AS name_len
+               length(c_name) AS name_len,
+               starts_with(c_name, 'Customer#00000001') AS name_prefix_match
         FROM customer
     """
 

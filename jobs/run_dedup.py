@@ -136,6 +136,12 @@ def main(argv=None) -> dict:
         metrics_df(spark, result["metrics"]).write.mode("overwrite").parquet(
             os.path.join(args.output, "tier_metrics")
         )
+        # never-silent drop accounting (dropped bands/buckets, gated pairs):
+        # written in BOTH metered and fused modes — a production operator
+        # must always be able to see what candidate generation discarded
+        result["accounting"].write.mode("overwrite").parquet(
+            os.path.join(args.output, "tier_accounting")
+        )
         if result["lineage"]:
             lineage_df(spark, result["lineage"]).write.mode("overwrite").parquet(
                 os.path.join(args.output, "tier_lineage")
@@ -153,6 +159,13 @@ def main(argv=None) -> dict:
             "docs_per_sec": round(n_docs / elapsed, 1),
             "tiers": {m.tier: {"in": m.n_in, "dropped": m.n_dropped, "out": m.n_out}
                       for m in result["metrics"]},
+            "accounting": {
+                r["metric"]: {"rows": int(r["rows"]), "total_n": int(r["total_n"])}
+                for r in result["accounting"]
+                .groupBy("metric")
+                .agg(F.count("*").alias("rows"), F.sum("n").alias("total_n"))
+                .collect()
+            },
         }
         print("SUMMARY " + json.dumps(summary))
         return summary

@@ -63,11 +63,17 @@ def minhash_lsh_pairs(
     config: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    gate_metrics: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """text -> verified near-duplicate pairs (id_l, id_r, match_key, jaccard).
 
     Returns (pairs, dropped_bands). The full detector-1 path: shingle ->
     minhash -> bands -> capped self-join -> exact-jaccard verify.
+
+    `gate_metrics`: pass a dict to receive the estimate gate's gated-pair
+    accounting (pairs_in / pairs_after_gate / pairs_gated_out) when
+    config.verify_estimate_gate is on — the never-silent contract for the
+    one lossy feature, same policy as dropped bands.
     """
     docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
     # shingles + signatures are checkpointed TOGETHER: banding, the size
@@ -91,6 +97,7 @@ def minhash_lsh_pairs(
         threshold=config.jaccard_threshold,
         minhash_col="minhash" if config.verify_estimate_gate else None,
         estimate_band=config.verify_estimate_band,
+        gate_metrics=gate_metrics if config.verify_estimate_gate else None,
     )
     return verified, dropped
 

@@ -95,6 +95,10 @@ def tiered_dedup(
     survivors the kept rows of `docs`, original columns intact.
     metrics   list[TierMetric] — per-tier in/dropped/out counts (the north
               rule's drop accounting: nothing is removed silently).
+    accounting DataFrame (tier, metric, band_key, n): over-cap dropped LSH
+              bands / embedding buckets and estimate-gated pair counts —
+              recorded in fused mode too; resumed tiers contribute nothing
+              (their accounting was recorded by the producing run).
 
     The embedding tier runs only when `embeddings` (id_col, vec_col) is
     passed; docs without a vector pass through it untouched (a missing
@@ -171,6 +175,25 @@ def tiered_dedup(
 
     lineage_rows: list[tuple] = []
 
+    # never-silent drop accounting (dropped LSH bands / embedding buckets,
+    # estimate-gated pairs) — recorded in BOTH metered and fused modes: the
+    # detectors materialize these tables eagerly as part of candidate
+    # generation, so observing them adds no extra barrier. Like lineage,
+    # rows come only from tiers that actually RAN this call; a resumed
+    # tier's accounting was recorded by the producing run.
+    acct_parts: list[DataFrame] = []
+    _ACCT_SCHEMA = "tier string, metric string, band_key bigint, n bigint"
+
+    def _acct_bands(tier: str, dropped_df: DataFrame) -> None:
+        acct_parts.append(
+            dropped_df.select(
+                F.lit(tier).alias("tier"),
+                F.lit("dropped_band").alias("metric"),
+                F.col("band_key").cast("long").alias("band_key"),
+                F.col("band_size").cast("long").alias("n"),
+            )
+        )
+
     def _record_lineage(name: str, out: DataFrame) -> None:
         """Per-partition row counts for a tier's drops table (the pipeline's
         per-partition lineage contract, extended to the cascade). Metrics
@@ -233,14 +256,28 @@ def tiered_dedup(
         t_tier = time.monotonic()
 
     # ---- tier 2: near (MinHash LSH + exact-Jaccard verify) ----------------
+    near_gate: dict = {}
+
     def _build_near() -> DataFrame:
         docs1 = docs.join(surv1, id_col, "left_semi")
-        pairs, _dropped_bands = minhash_lsh_pairs(docs1, config, id_col=id_col, text_col=text_col)
+        pairs, dropped_bands = minhash_lsh_pairs(
+            docs1, config, id_col=id_col, text_col=text_col, gate_metrics=near_gate
+        )
+        _acct_bands("near", dropped_bands)
         return _cluster_drops(
             surv1, pairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
         )
 
     near_drops = _durable("near_drops", _build_near)
+    if near_gate:
+        # the estimate gate's counts were taken eagerly inside verify_pairs
+        # during the build; a resumed tier never fills this (see above)
+        acct_parts.append(
+            spark.createDataFrame(
+                [("near", "gated_pairs", None, int(near_gate["pairs_gated_out"]))],
+                _ACCT_SCHEMA,
+            )
+        )
     surv2 = _cut(surv1.join(near_drops.select(id_col), id_col, "left_anti"))
     if collect_metrics:
         n2 = surv2.count()
@@ -278,10 +315,12 @@ def tiered_dedup(
                 # explicit knobs exist because hash-derived or otherwise
                 # non-spherical embedding distributions discriminate less
                 # per plane than the model assumes
-                epairs = embedding_neardup_pairs(
+                epairs, edropped = embedding_neardup_pairs(
                     emb2, threshold=cosine_threshold, id_col=id_col, vec_col=vec_col,
                     exact=exact_cosine, n_planes=cosine_planes, n_tables=cosine_tables,
+                    with_accounting=True,
                 )
+                _acct_bands("semantic", edropped)
             return _cluster_drops(
                 surv2, epairs.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")), id_col
             )
@@ -348,6 +387,9 @@ def tiered_dedup(
             n_in -= d
 
     survivors = docs.join(surv3, id_col, "left_semi")
+    accounting = spark.createDataFrame([], _ACCT_SCHEMA)
+    for p in acct_parts:
+        accounting = accounting.unionByName(p)
     return {
         "status": status,
         "survivors": survivors,
@@ -355,6 +397,11 @@ def tiered_dedup(
         # (drops_table, partition_id, rows) triples; empty in fused mode and
         # for resumed tiers (their lineage was recorded by the producing run)
         "lineage": lineage_rows,
+        # (tier, metric, band_key, n): dropped_band rows per over-cap LSH
+        # band / embedding bucket, plus the gated_pairs count when the
+        # estimate gate is on — populated in fused mode too (never-silent);
+        # resumed tiers contribute nothing (recorded by the producing run)
+        "accounting": accounting,
     }
 
 

@@ -53,6 +53,37 @@ def test_multi_detector_agreement_output(spark, tmp_path):
     assert {r["detector"] for r in pairs.select("detector").distinct().collect()} >= {"minhash"}
 
 
+def test_cascade_fused_writes_drop_accounting(spark, tmp_path):
+    """The FUSED (production) cascade must still persist the never-silent
+    accounting: over-cap dropped bands and the estimate gate's gated-pair
+    count land in the tier_accounting parquet next to the output."""
+    import json
+
+    base = " ".join(f"tok{i}" for i in range(300))
+    # 12 near-identical (NOT exact-identical) boilerplate pages: they survive
+    # the exact tier, then share most MinHash bands -> band size 12 > cap 4
+    rows = [(f"https://ex.com/{i}", f"{base} suffix{i}") for i in range(12)]
+    rows += [
+        (f"https://uniq.com/{i}", " ".join(f"u{i}w{j}" for j in range(60)))
+        for i in range(20)
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    cfg = json.dumps({"band_cap": 4, "verify_estimate_gate": True})
+    summary = run_dedup.main(
+        ["--input", src, "--output", out_dir, "--mode", "cascade", "--fused",
+         "--config-json", cfg]
+    )
+    acct = spark.read.parquet(os.path.join(out_dir, "tier_accounting"))
+    metrics = {r["metric"] for r in acct.select("metric").distinct().collect()}
+    assert "dropped_band" in metrics  # boilerplate bands over the cap
+    assert "gated_pairs" in metrics  # gate accounting present even fused
+    assert summary["accounting"]["dropped_band"]["rows"] > 0
+    # dropped bands carry their size; the hot boilerplate bands hold 12 docs
+    assert acct.where("metric = 'dropped_band'").agg({"n": "max"}).collect()[0][0] == 12
+
+
 def test_cascade_mode_outputs_and_accounting(spark, tmp_path):
     out_dir = str(tmp_path / "casc")
     summary = run_dedup.main(["--output", out_dir, "--mode", "cascade", "--synth", "400"])
