@@ -46,6 +46,7 @@ _MAGIC = [
     (b"\x89PNG", "image"),
     (b"\xff\xd8\xff", "image"),
     (b"GIF8", "image"),
+    (b"BM", "image"),
     (b"RIFF", "audio"),
     (b"ID3", "audio"),
     (b"\x00\x00\x00", "video"),  # mp4 ftyp boxes
@@ -115,6 +116,31 @@ def wav_decoder(payload: bytes) -> dict:
             "duration_ms": int(n * 1000 / rate) if rate else 0,
             "n_frames": n,
         }
+
+
+def bmp_decoder(payload: bytes) -> dict:
+    """A REAL image decoder on pure stdlib struct parsing (BMP/DIB) — the
+    registry's second real modality beside wav_decoder: width/height/bit
+    depth come from the actual container header (both the legacy
+    BITMAPCOREHEADER and the BITMAPINFOHEADER family), malformed payloads
+    raise into decode_media's (ok, err) error channel. Field mapping into
+    the fixed MEDIA_SCHEMA: width/height = real pixel dims (top-down BMPs
+    store negative height — reported as abs), duration_ms = 0, n_frames = 1.
+    Not registered by default, same policy as wav_decoder."""
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size == 12:  # BITMAPCOREHEADER (OS/2): 16-bit dims
+        w, h = struct.unpack_from("<HH", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 24)[0]
+    else:  # BITMAPINFOHEADER and successors: signed 32-bit dims
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+    if w <= 0 or h == 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"bad BMP geometry: {w}x{h}@{bpp}bpp")
+    return {"width": int(w), "height": abs(int(h)), "duration_ms": 0, "n_frames": 1}
 
 
 def decode_media(

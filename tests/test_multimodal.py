@@ -117,3 +117,41 @@ def test_real_wav_decoder_roundtrip(spark):
         from nhse_probabilistic_linkage_spark.functions import multimodal
 
         multimodal._DECODERS.pop("audio", None)
+
+
+def test_real_bmp_decoder_roundtrip(spark):
+    """The registry contract with a second REAL codec (stdlib struct over
+    the BMP container): a genuine in-memory 3x2 24-bit BMP decodes to its
+    actual pixel dims through the same mapInPandas harness; a top-down BMP
+    (negative height) reports abs(height); a truncated header lands in the
+    error channel instead of failing the task."""
+    import struct
+
+    from nhse_probabilistic_linkage_spark.functions.multimodal import bmp_decoder
+
+    def make_bmp(w, h, bpp=24):
+        row_bytes = (w * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+        pixels = b"\x00" * (row_bytes * abs(h))
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pixels), 2835, 2835, 0, 0)
+        size = 14 + len(info) + len(pixels)
+        return struct.pack("<2sIHHI", b"BM", size, 0, 0, 14 + len(info)) + info + pixels
+
+    rows = [
+        (1, bytearray(make_bmp(3, 2))),
+        (2, bytearray(make_bmp(5, -4))),  # top-down storage
+        (3, bytearray(make_bmp(3, 2)[:20])),  # truncated header
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    register_decoder("image", bmp_decoder)
+    try:
+        probed = probe_binary(df)
+        assert all(r["media_type"] == "image" for r in probed.collect())
+        out = {r["doc_id"]: r for r in decode_media(probed).collect()}
+        assert out[1]["ok"] is True and (out[1]["width"], out[1]["height"]) == (3, 2)
+        assert out[2]["ok"] is True and (out[2]["width"], out[2]["height"]) == (5, 4)
+        assert out[1]["n_frames"] == 1 and out[1]["duration_ms"] == 0
+        assert out[3]["ok"] is False and out[3]["err"]
+    finally:
+        from nhse_probabilistic_linkage_spark.functions import multimodal
+
+        multimodal._DECODERS.pop("image", None)

@@ -22,6 +22,30 @@ from nhse_probabilistic_linkage_spark.sources.pages import synth_pages
 
 
 @pytest.mark.scale
+def test_recall_gate_long_docs_20k(spark):
+    """Web-realistic doc lengths (600-1200 tokens) with the MinHash-estimate
+    verify gate FORCED ON — the engine's one lossy feature, exercised at the
+    doc lengths it exists for. Pins (a) end-to-end recall >= 0.999, (b) the
+    gate's never-silent accounting present and arithmetically consistent,
+    (c) gate losses within the documented ~1e-4/true-pair 3-sigma budget
+    (they surface as verify_misses: the pair was banded, then gated before
+    exact verification). Runtime ~1-2 min at local[4]."""
+    pages, truth = synth_pages(spark, 20_000, seed=42, min_tokens=600, max_tokens=1200)
+    pages = pages.select("url", "text").localCheckpoint(eager=True)
+    pipe = DedupPipeline(spark, DedupConfig(verify_estimate_gate=True))
+    out = pipe.run(pages)
+    gated = {m.stage: m for m in pipe.metrics}["verified.gated_pairs"]
+    assert gated.rows >= 0 and gated.extra["pairs_in"] >= gated.rows
+    ids = truth.withColumn("doc_id", F.xxhash64("url")).select("doc_id", "cluster_id")
+    expected = expected_pairs_at_threshold(ids, out["prepared"], threshold=0.7)
+    rep = pair_recall_report(expected, out["pairs"], out["verified"]).collect()[0]
+    recall = rep["verified_hits"] / max(rep["expected_pairs"], 1)
+    assert rep["expected_pairs"] > 2_000  # the corpus planted a real tail
+    assert rep["verify_misses"] <= 3, dict(rep.asDict())  # gate budget
+    assert recall >= 0.999, dict(rep.asDict())
+
+
+@pytest.mark.scale
 def test_recall_gate_240k(spark):
     pages, truth = synth_pages(spark, 240_000, seed=42)
     pages = pages.select("url", "text").localCheckpoint(eager=True)
