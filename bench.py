@@ -95,10 +95,14 @@ def run_dedup_synth(
     return best
 
 
-def run_cascade_synth(spark, n_docs: int, repeats: int = 1) -> dict:
+def run_cascade_synth(spark, n_docs: int, repeats: int = 1,
+                      collect_metrics: bool = True) -> dict:
     """The deployment shape: tiered exact -> near -> semantic cascade
     (plans/tiers.py) over the same synthetic corpus, with per-tier wall
-    seconds and drop accounting."""
+    seconds and drop accounting. collect_metrics=False runs the FUSED
+    production plan (no per-tier barriers; tier_seconds are 0.0 by
+    construction) — used by tools/bench_weak.py for the cascade
+    weak-scaling rows."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from nhse_probabilistic_linkage_spark.functions.text import tokenize
@@ -142,7 +146,8 @@ def run_cascade_synth(spark, n_docs: int, repeats: int = 1) -> dict:
     best = None
     for _ in range(max(1, repeats)):
         t0 = time.monotonic()
-        out = tiered_dedup(docs, DedupConfig(), embeddings=emb, cosine_threshold=0.98)
+        out = tiered_dedup(docs, DedupConfig(), embeddings=emb, cosine_threshold=0.98,
+                           collect_metrics=collect_metrics)
         n_kept = out["status"].where("tier = 'kept'").count()
         elapsed = time.monotonic() - t0
         res = {

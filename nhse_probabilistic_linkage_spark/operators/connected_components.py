@@ -219,6 +219,63 @@ def connected_components(
     return members.union(roots).groupBy("id").agg(F.min("component").alias("component"))
 
 
+def incremental_assign_components(
+    prev: DataFrame,
+    docs: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "cluster_id",
+    max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
+    local_finish_edges: int = 1_000_000,
+) -> DataFrame:
+    """Update a previous component assignment with NEW edges only.
+
+    prev       (id_col, out_col) — a complete prior assignment where out_col
+               is the MIN member id of each component (assign_components'
+               output contract).
+    docs       the full current doc set; ids absent from prev are admitted
+               as fresh singletons. Every new-edge endpoint must appear here.
+    new_edges  (src, dst) edges not yet reflected in prev.
+
+    Correctness: contracting each previous component to its min-id label
+    preserves connectivity, so CC over the contracted new-edge graph merges
+    exactly the components the new edges connect — and because every label
+    is already the min doc id of its old component, min-of-labels IS the
+    min doc id of each merged component. Output is therefore identical to
+    re-running assign_components over the FULL edge history (pinned in
+    tests/test_streaming.py over a 10-batch stream).
+
+    Cost: the CC iterates over O(|new_edges|) label-level edges instead of
+    the whole history — this is what bounds per-batch recluster cost in
+    streaming/incremental.py. The two label joins are narrow (8-byte keys).
+    """
+    base = (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(prev.select(F.col(id_col), F.col(out_col).alias("_prev")), id_col, "left")
+        .select(F.col(id_col), F.coalesce("_prev", F.col(id_col)).alias("_label"))
+    )
+    contracted = (
+        new_edges.select(
+            F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+        )
+        .join(base.select(F.col(id_col).alias("src"), F.col("_label").alias("_ls")), "src")
+        .join(base.select(F.col(id_col).alias("dst"), F.col("_label").alias("_ld")), "dst")
+        .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    comps = connected_components(
+        contracted,
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+        local_finish_edges=local_finish_edges,
+    )
+    return (
+        base.join(comps.withColumnRenamed("id", "_label"), "_label", "left")
+        .select(F.col(id_col), F.coalesce("component", F.col("_label")).alias(out_col))
+    )
+
+
 def assign_components(
     docs: DataFrame,
     edges: DataFrame,

@@ -517,8 +517,34 @@ class IncrementalDedup:
         return writer.start()
 
     def recluster(self) -> DataFrame:
-        """Global cluster assignment over all docs seen so far."""
+        """Global cluster assignment over all docs seen so far (full CC over
+        the whole verified-pair history — O(history) per call)."""
         return assign_components(
             self.stored_sigs().select("doc_id"),
             self.verified_pairs().select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")),
+        )
+
+    def recluster_incremental(self, prev: DataFrame, since_batch: int) -> DataFrame:
+        """Fold only the edges of batches AFTER `since_batch` into a previous
+        assignment (see operators.connected_components.
+        incremental_assign_components): per-call CC cost is O(new edges),
+        not O(full history) — output identical to recluster() (test-pinned
+        over a 10-batch stream). Caller tracks the last folded batch id;
+        legacy rows with NULL batch_id count as batch -1 (committed history,
+        same convention as process_batch's state reads). Ordering with
+        compact(): compaction rewrites every stored batch to generation -2,
+        so fold all outstanding batches BEFORE compacting (or re-seed with a
+        full recluster() after) — edges folded into -2 are invisible to a
+        later `> since_batch` filter by design, not lost from state."""
+        from nhse_probabilistic_linkage_spark.operators.connected_components import (
+            incremental_assign_components,
+        )
+
+        new_edges = (
+            self.verified_pairs()
+            .where(F.coalesce(F.col("batch_id"), F.lit(-1)) > F.lit(since_batch))
+            .select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+        )
+        return incremental_assign_components(
+            prev, self.stored_sigs().select("doc_id"), new_edges
         )

@@ -255,3 +255,24 @@ def test_compaction_preserves_state_and_exactly_once(spark, corpus, tmp_path_fac
         assert fresh._batch_ids(path) == [fresh.COMPACTED_BATCH_ID]
     assert snap(fresh.stored_sigs()) == sigs_with_extra
     assert snap(fresh.verified_pairs()) == pairs_with_extra
+
+
+def test_incremental_recluster_matches_full(spark, corpus, tmp_path_factory):
+    """Folding each batch's new edges into the previous assignment
+    (recluster_incremental) yields EXACTLY the assignment of a full CC over
+    the whole history (recluster) — at every step of a 10-batch stream."""
+    state = str(tmp_path_factory.mktemp("state"))
+    inc = IncrementalDedup(spark, state, CFG)
+    prev = spark.createDataFrame([], "doc_id long, cluster_id long")
+    for i in range(10):
+        inc.process_batch(corpus.where(f"pmod(doc_id, 10) = {i}"), i)
+        prev = inc.recluster_incremental(prev, since_batch=i - 1).localCheckpoint(
+            eager=True
+        )
+    full = inc.recluster()
+    got = sorted(map(tuple, prev.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(got) == corpus.count()
+    # idempotence: folding an empty tail changes nothing
+    again = inc.recluster_incremental(prev, since_batch=9)
+    assert sorted(map(tuple, again.collect())) == want

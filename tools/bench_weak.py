@@ -9,7 +9,11 @@ across both protocols.
 
 Usage: python tools/bench_weak.py [n_docs=4000000] [cpus=32] [shape=fused]
        (shape: fused = production, no per-stage barriers; metered = eager
-        per-stage barriers + stage metrics, printed when present)
+        per-stage barriers + stage metrics, printed when present;
+        cascade_fused / cascade_metered = the tiered exact->near->semantic
+        cascade via bench.run_cascade_synth — metered reports per-tier
+        seconds, fused is the production plan; kept-counts must match
+        across the two shapes)
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     shape = sys.argv[3] if len(sys.argv) > 3 else "fused"
-    assert shape in ("fused", "metered"), shape
+    assert shape in ("fused", "metered", "cascade_fused", "cascade_metered"), shape
 
     from nhse_probabilistic_linkage_spark.config import DedupConfig
     from nhse_probabilistic_linkage_spark.plans.pipeline import DedupPipeline
@@ -41,6 +45,27 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000).selectExpr("count(xxhash64(id))").collect()  # JVM warm
+
+    if shape.startswith("cascade_"):
+        import bench
+
+        res = bench.run_cascade_synth(
+            spark, n_docs, repeats=1,
+            collect_metrics=shape == "cascade_metered",
+        )
+        print(json.dumps({
+            "shape": shape,
+            "cpus": cpus,
+            "docs": n_docs,
+            "seconds": round(res["seconds"], 1),
+            "docs_per_sec": round(res["docs_per_sec"], 1),
+            "kept": res["kept"],
+            "tier_seconds": res["tier_seconds"],
+            "tier_dropped": res["tier_dropped"],
+        }))
+        spark.stop()
+        return
+
     pages, _ = synth_pages(
         spark, n_docs, seed=42, partitions=64, min_tokens=40, max_tokens=120
     )
