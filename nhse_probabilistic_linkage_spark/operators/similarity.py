@@ -146,17 +146,24 @@ def embedding_neardup_pairs(
         # re-executes per scan (measured on a 40k-doc derived-embedding
         # input: 188s lazy vs seconds cut)
         slim = slim.localCheckpoint(eager=True)
-        if dim is None:
-            dim = len(slim.select(vec_col).first()[0])
-        # size the tables from the collision model at this threshold AND the
-        # corpus density (see lsh_params_for_threshold: fixed planes make the
-        # random-collision candidate tail quadratic in n) unless the caller
-        # pins them; the count is one cheap job over the just-cut table
-        auto_planes, auto_tables = lsh_params_for_threshold(
-            threshold, n_docs=slim.count()
-        )
-        n_planes = n_planes if n_planes is not None else auto_planes
-        n_tables = n_tables if n_tables is not None else auto_tables
+        if dim is None or n_planes is None or n_tables is None:
+            # ONE probe job fuses the vector-dim peek and the corpus-density
+            # count that size the tables from the collision model (see
+            # lsh_params_for_threshold: fixed planes make the random-collision
+            # candidate tail quadratic in n). These were two serial barriers
+            # (.first() + .count()); at 100 TB each barrier is a full
+            # driver round-trip between stages, so they are fused — and
+            # skipped entirely when the caller pins dim + n_planes + n_tables.
+            n_rows, probe_dim = slim.agg(
+                F.count(F.lit(1)), F.first(F.size(vec_col))
+            ).first()
+            if dim is None:
+                dim = int(probe_dim)
+            auto_planes, auto_tables = lsh_params_for_threshold(
+                threshold, n_docs=n_rows
+            )
+            n_planes = n_planes if n_planes is not None else auto_planes
+            n_tables = n_tables if n_tables is not None else auto_tables
         bucket = make_hyperplane_udf(dim, n_planes=n_planes, seed=seed, n_tables=n_tables)
         # the bucket join moves ONLY (id, table, bucket) — 20-byte rows. The
         # vectors would otherwise ride the join n_tables-times duplicated
