@@ -1222,6 +1222,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q88_asof_bucketed"] = q88_asof_bucketed
 
+    def q89_phonetic_block(spark, sf_dir):
+        # phonetic blocking keys (functions/phonetics.py): the reference's
+        # soundex/double-metaphone blocking columns (preprocessing_utils.py:
+        # 211,427-433) re-expressed as a pure regexp_replace chain — zero
+        # Python in the map, whole-stage codegen end to end. Key histogram
+        # over the first word of part names.
+        from nhse_probabilistic_linkage_spark.functions.phonetics import phonetic_key
+
+        parts = _t(spark, sf_dir, "part")
+        word = F.regexp_extract(F.col("p_name"), "^[a-z]+", 0)
+        keyed = parts.select(word.alias("word"), phonetic_key(word, 4).alias("pkey"))
+        return keyed.groupBy("pkey").agg(
+            F.count("*").alias("n_parts"), F.countDistinct("word").alias("n_words")
+        )
+
+    q["q89_phonetic_block"] = q89_phonetic_block
+
+    def q90_fs_em(spark, sf_dir):
+        # Fellegi–Sunter m/u training (operators/fellegi_sunter.py): fixture
+        # pairs (each order with its key-successor; the global window is a
+        # fixture-only pair generator — production pairs come from blocking)
+        # -> binary agreement vectors -> ONE pattern-count shuffle (≤8 rows)
+        # -> 5 driver-side EM iterations. The DuckDB oracle replays the
+        # identical EM as five generated SQL iteration CTEs.
+        from nhse_probabilistic_linkage_spark.operators.fellegi_sunter import (
+            estimate_mu,
+            gamma_vectors,
+        )
+
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        w = Window.orderBy("id")
+        pairs = o.select(
+            F.col("id").alias("id_l"), F.lead("id").over(w).alias("id_r")
+        ).where(F.col("id_r").isNotNull())
+        g = gamma_vectors(pairs, o, "id", ["status", "prio", "mon"])
+        params = estimate_mu(g, ["status", "prio", "mon"], n_iter=5)
+        return params.select(
+            "column",
+            F.round("m", 6).alias("m"),
+            F.round("u", 6).alias("u"),
+            F.round("agree_weight", 6).alias("agree_weight"),
+            F.round("disagree_weight", 6).alias("disagree_weight"),
+            F.round("lambda_prior", 6).alias("lambda_prior"),
+        )
+
+    q["q90_fs_em"] = q90_fs_em
+
     # ------------------------------------------------------------------
     # registration order IS the driver contract: the correctness harness
     # records the first 50 entries, so the first 50 are curated to keep a
@@ -2155,4 +2207,103 @@ def oracle_sql() -> dict[str, str]:
         FROM b
     """
 
+    # q89: the oracle's key expression is RENDERED BY THE SAME MODULE that
+    # builds the Spark expression chain (functions/phonetics.py), so the two
+    # sides cannot drift
+    from nhse_probabilistic_linkage_spark.functions.phonetics import phonetic_key_sql
+
+    o["q89_phonetic_block"] = f"""
+        WITH w AS (SELECT regexp_extract(p_name, '^[a-z]+') AS word FROM part)
+        SELECT {phonetic_key_sql('word', 4)} AS pkey,
+               count(*) AS n_parts,
+               count(DISTINCT word) AS n_words
+        FROM w GROUP BY 1
+    """
+
+    o["q90_fs_em"] = _fs_em_oracle_sql(n_iter=5)
+
     return o
+
+
+def _fs_em_oracle_sql(n_iter: int) -> str:
+    """Generate the q90 oracle: the exact EM arithmetic of
+    operators/fellegi_sunter.em_mu unrolled into n_iter SQL iteration CTEs.
+
+    Float literals use e0 notation so DuckDB types them DOUBLE (a bare 0.9
+    is DECIMAL there); per-row products are written in the same
+    left-associative order as the Python loop so each row's responsibility
+    is bit-identical, and both sides round to 6 dp so the only remaining
+    slack (SUM accumulation order over the ≤8 pattern rows) cannot surface.
+    """
+    cols = ["status", "prio", "mon"]
+    k = len(cols)
+    gs = [f"g{j}" for j in range(k)]
+    cte = [
+        """o AS (
+          SELECT o_orderkey AS id, o_orderstatus AS status,
+                 o_orderpriority AS prio, month(o_orderdate) AS mon
+          FROM orders
+        )""",
+        """prs AS (
+          SELECT id AS id_l, lead(id) OVER (ORDER BY id) AS id_r FROM o
+        )""",
+        "g AS (\n  SELECT "
+        + ",\n         ".join(
+            f"CASE WHEN l.{c} IS NOT NULL AND r.{c} IS NOT NULL AND l.{c} = r.{c} "
+            f"THEN 1 ELSE 0 END AS g{j}"
+            for j, c in enumerate(cols)
+        )
+        + "\n  FROM prs p JOIN o l ON p.id_l = l.id JOIN o r ON p.id_r = r.id"
+        + "\n  WHERE p.id_r IS NOT NULL\n)",
+        f"pc AS (SELECT {', '.join(gs)}, count(*) AS n FROM g GROUP BY {', '.join(gs)})",
+        "it0 AS (SELECT 0.1e0 AS lam, "
+        + ", ".join(f"0.9e0 AS m{j}" for j in range(k))
+        + ", "
+        + ", ".join(f"0.1e0 AS u{j}" for j in range(k))
+        + ")",
+    ]
+    for i in range(1, n_iter + 1):
+        pm = "p.lam" + "".join(
+            f" * (CASE WHEN pc.g{j} = 1 THEN p.m{j} ELSE 1.0e0 - p.m{j} END)"
+            for j in range(k)
+        )
+        pu = "(1.0e0 - p.lam)" + "".join(
+            f" * (CASE WHEN pc.g{j} = 1 THEN p.u{j} ELSE 1.0e0 - p.u{j} END)"
+            for j in range(k)
+        )
+        cte.append(
+            f"r{i} AS (SELECT {', '.join('pc.' + g for g in gs)}, pc.n, "
+            f"({pm}) / (({pm}) + ({pu})) AS resp FROM pc, it{i - 1} p)"
+        )
+
+        def clip(x: str) -> str:
+            return f"greatest(least({x}, 1.0e0 - 1e-9), 1e-9)"
+
+        terms = ["sum(n * resp) / sum(n) AS lam"]
+        terms += [
+            clip(f"sum(CASE WHEN g{j} = 1 THEN n * resp ELSE 0.0e0 END) / sum(n * resp)")
+            + f" AS m{j}"
+            for j in range(k)
+        ]
+        terms += [
+            clip(
+                f"sum(CASE WHEN g{j} = 1 THEN n * (1.0e0 - resp) ELSE 0.0e0 END)"
+                f" / (sum(n) - sum(n * resp))"
+            )
+            + f" AS u{j}"
+            for j in range(k)
+        ]
+        cte.append(f"it{i} AS (SELECT {', '.join(terms)} FROM r{i})")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", m{j} AS m, u{j} AS u, log2(m{j} / u{j}) AS aw,"
+        f" log2((1.0e0 - m{j}) / (1.0e0 - u{j})) AS dw, lam FROM it{n_iter}"
+        for j, c in enumerate(cols)
+    )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+        SELECT "column", round(m, 6) AS m, round(u, 6) AS u,
+               round(aw, 6) AS agree_weight, round(dw, 6) AS disagree_weight,
+               round(lam, 6) AS lambda_prior
+        FROM ({rows})
+    """
+    )

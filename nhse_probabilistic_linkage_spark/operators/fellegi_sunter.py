@@ -1,0 +1,220 @@
+"""Fellegi–Sunter m/u estimation, DataFrame-native where the data is big.
+
+Reference analog: the reference trains its linkage model with Splink —
+``estimate_u_using_random_sampling(max_pairs=1e8)`` then one
+expectation-maximisation pass per training blocking rule, averaging the m
+values across rules (/root/reference/notebooks_dedupe/training_dedupe.py:
+105-150). This module re-expresses that training loop Spark-first:
+
+- the only O(pairs) work is building binary agreement vectors (two joins)
+  and one groupBy that collapses them to an agreement-PATTERN contingency
+  table of at most 2**k rows (k = number of compared columns). That one
+  shuffle is the whole distributed cost — at 10^12 pairs the output is
+  still ≤ 2**k rows.
+- EM itself then runs driver-side over that tiny table with numpy
+  (:func:`em_mu`), the same bounded-local-finish reasoning as
+  ``connected_components.local_finish_edges``: collecting ≤ 2**k
+  (pattern, count) rows is not a scale hazard, and a fixed iteration
+  order makes the result reproducible to the bit.
+- u probabilities come from the deterministic random-pair sampler
+  (``functions.sampling.sample_pairs``) exactly like Splink's
+  random-sampling u estimate: agreement rates among random pairs, which
+  are overwhelmingly non-matches at corpus scale.
+
+Weights follow the standard Fellegi–Sunter form: agreement weight
+log2(m/u), disagreement weight log2((1-m)/(1-u)).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sampling import sample_pairs
+
+
+def gamma_vectors(
+    pairs: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """(id_l, id_r) pairs -> binary agreement vector per compared column.
+
+    gamma_<col> = 1 iff both sides are non-null and equal (Splink's null
+    handling folded to the conservative binary case: a null never agrees).
+    Two joins against the projected attribute table; with a broadcastable
+    attrs side Catalyst picks broadcast-hash automatically.
+    """
+    proj = attrs.select(id_col, *cols)
+    left = proj.select(
+        F.col(id_col).alias("id_l"), *[F.col(c).alias(f"_l_{c}") for c in cols]
+    )
+    right = proj.select(
+        F.col(id_col).alias("id_r"), *[F.col(c).alias(f"_r_{c}") for c in cols]
+    )
+    out = pairs.select("id_l", "id_r").join(left, "id_l").join(right, "id_r")
+    for c in cols:
+        agree = (
+            F.col(f"_l_{c}").isNotNull()
+            & F.col(f"_r_{c}").isNotNull()
+            & (F.col(f"_l_{c}") == F.col(f"_r_{c}"))
+        )
+        out = out.withColumn(f"gamma_{c}", agree.cast("int"))
+    return out.select("id_l", "id_r", *[f"gamma_{c}" for c in cols])
+
+
+def pattern_counts(gammas: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Collapse pairs to the agreement-pattern contingency table — the one
+    shuffle of the whole estimation; output is ≤ 2**len(cols) rows."""
+    gcols = [f"gamma_{c}" for c in cols]
+    return gammas.groupBy(*gcols).agg(F.count("*").alias("n_pairs"))
+
+
+def em_mu(
+    patterns: Iterable[tuple[Sequence[int], int]],
+    n_iter: int = 20,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+) -> tuple[float, list[float], list[float]]:
+    """EM over (pattern, count) rows. Returns (lambda, m[k], u[k]).
+
+    Pure driver-side arithmetic on the ≤ 2**k-row contingency table;
+    patterns are sorted first so summation order (and therefore the float
+    result) is reproducible bit-for-bit.
+    """
+    rows = sorted((tuple(int(g) for g in gs), int(n)) for gs, n in patterns)
+    if not rows:
+        raise ValueError("empty pattern table")
+    k = len(rows[0][0])
+    if any(len(gs) != k for gs, _ in rows):
+        raise ValueError("ragged agreement patterns")
+    lam = float(init_lambda)
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+    for _ in range(n_iter):
+        sum_c = sum_r = 0.0
+        num_m = [0.0] * k
+        num_u = [0.0] * k
+        for gs, n in rows:
+            pm = lam
+            pu = 1.0 - lam
+            for j, g in enumerate(gs):
+                pm *= m[j] if g else (1.0 - m[j])
+                pu *= u[j] if g else (1.0 - u[j])
+            r = pm / (pm + pu)
+            sum_c += n
+            sum_r += n * r
+            for j, g in enumerate(gs):
+                if g:
+                    num_m[j] += n * r
+                    num_u[j] += n * (1.0 - r)
+        lam = sum_r / sum_c
+        m = [_clip(x / sum_r) for x in num_m]
+        u = [_clip(x / (sum_c - sum_r)) for x in num_u]
+    return lam, m, u
+
+
+def _clip(p: float, eps: float = 1e-9) -> float:
+    return min(max(p, eps), 1.0 - eps)
+
+
+def estimate_mu(
+    gammas: DataFrame,
+    cols: Sequence[str],
+    n_iter: int = 20,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+) -> DataFrame:
+    """Full estimation: pattern shuffle -> driver EM -> params DataFrame
+    (column, m, u, agree_weight, disagree_weight)."""
+    spark = gammas.sparkSession
+    counted = pattern_counts(gammas, cols).collect()  # ≤ 2**k rows by construction
+    pats = [
+        (tuple(row[f"gamma_{c}"] for c in cols), row["n_pairs"]) for row in counted
+    ]
+    lam, m, u = em_mu(
+        pats, n_iter=n_iter, init_m=init_m, init_u=init_u, init_lambda=init_lambda
+    )
+    return params_dataframe(spark, cols, m, u, lam)
+
+
+def params_dataframe(
+    spark: SparkSession,
+    cols: Sequence[str],
+    m: Sequence[float],
+    u: Sequence[float],
+    lam: float | None = None,
+) -> DataFrame:
+    rows = [
+        (
+            c,
+            float(mj),
+            float(uj),
+            math.log2(mj / uj),
+            math.log2((1.0 - mj) / (1.0 - uj)),
+            float(lam) if lam is not None else None,
+        )
+        for c, mj, uj in zip(cols, m, u)
+    ]
+    return spark.createDataFrame(
+        rows, "column string, m double, u double, agree_weight double, "
+        "disagree_weight double, lambda_prior double"
+    )
+
+
+def estimate_u_random_pairs(
+    df: DataFrame,
+    id_col: str,
+    cols: Sequence[str],
+    k_per_side: int = 100,
+    seed: int = 42,
+    method: str = "xxhash",
+) -> dict[str, float]:
+    """Splink-style u estimation: agreement rate per column among a
+    deterministic random pair sample (training_dedupe.py:105 analog).
+    One thin sample join + one scalar aggregate; never materializes the
+    full pair space."""
+    pairs = sample_pairs(df, key=id_col, k_per_side=k_per_side, seed=seed, method=method)
+    g = gamma_vectors(pairs, df, id_col, cols)
+    aggs = [F.avg(F.col(f"gamma_{c}").cast("double")).alias(c) for c in cols]
+    row = g.agg(*aggs).collect()[0]
+    return {c: _clip(float(row[c])) for c in cols}
+
+
+def average_m(param_rows: Sequence[dict[str, float]]) -> dict[str, float]:
+    """The reference trains one EM per blocking rule then averages the m
+    values (training_dedupe.py:136-150); same fold here over
+    {column: m} dicts from repeated estimate_mu runs."""
+    if not param_rows:
+        raise ValueError("no parameter sets to average")
+    keys = set(param_rows[0])
+    if any(set(p) != keys for p in param_rows):
+        raise ValueError("parameter sets disagree on columns")
+    return {c: sum(p[c] for p in param_rows) / len(param_rows) for c in keys}
+
+
+def score_pairs(
+    gammas: DataFrame,
+    cols: Sequence[str],
+    m: dict[str, float],
+    u: dict[str, float],
+) -> DataFrame:
+    """Attach the Fellegi–Sunter match weight and probability to each pair —
+    pure column arithmetic (whole-stage codegen), no UDFs, no shuffle."""
+    weight = F.lit(0.0)
+    for c in cols:
+        aw = math.log2(m[c] / u[c])
+        dw = math.log2((1.0 - m[c]) / (1.0 - u[c]))
+        weight = weight + F.when(F.col(f"gamma_{c}") == 1, F.lit(aw)).otherwise(
+            F.lit(dw)
+        )
+    bf = F.pow(F.lit(2.0), weight)
+    return gammas.withColumn("match_weight", weight).withColumn(
+        "match_probability", bf / (F.lit(1.0) + bf)
+    )
