@@ -41,6 +41,7 @@ def gamma_vectors(
     attrs: DataFrame,
     id_col: str,
     cols: Sequence[str],
+    keep_values: Sequence[str] = (),
 ) -> DataFrame:
     """(id_l, id_r) pairs -> binary agreement vector per compared column.
 
@@ -48,6 +49,11 @@ def gamma_vectors(
     handling folded to the conservative binary case: a null never agrees).
     Two joins against the projected attribute table; with a broadcastable
     attrs side Catalyst picks broadcast-hash automatically.
+
+    keep_values: columns whose (shared) value should ride along as
+    val_<col> — needed by TF adjustment, which must know WHICH value a
+    pair agreed on. Agreeing pairs share the value by definition, so the
+    left side's copy is kept (null when the pair disagrees).
     """
     proj = attrs.select(id_col, *cols)
     left = proj.select(
@@ -57,6 +63,7 @@ def gamma_vectors(
         F.col(id_col).alias("id_r"), *[F.col(c).alias(f"_r_{c}") for c in cols]
     )
     out = pairs.select("id_l", "id_r").join(left, "id_l").join(right, "id_r")
+    extra = []
     for c in cols:
         agree = (
             F.col(f"_l_{c}").isNotNull()
@@ -64,7 +71,10 @@ def gamma_vectors(
             & (F.col(f"_l_{c}") == F.col(f"_r_{c}"))
         )
         out = out.withColumn(f"gamma_{c}", agree.cast("int"))
-    return out.select("id_l", "id_r", *[f"gamma_{c}" for c in cols])
+        if c in keep_values:
+            out = out.withColumn(f"val_{c}", F.when(agree, F.col(f"_l_{c}")))
+            extra.append(f"val_{c}")
+    return out.select("id_l", "id_r", *[f"gamma_{c}" for c in cols], *extra)
 
 
 def pattern_counts(gammas: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -217,4 +227,72 @@ def score_pairs(
     bf = F.pow(F.lit(2.0), weight)
     return gammas.withColumn("match_weight", weight).withColumn(
         "match_probability", bf / (F.lit(1.0) + bf)
+    )
+
+
+def term_frequencies(attrs: DataFrame, col: str) -> DataFrame:
+    """Relative frequency per value of `col` (nulls excluded): the Splink
+    term-frequency table behind tf_adjustment_column
+    (/root/reference/utils/parameter_lists.py:11-13). One groupBy; the
+    total rides along via a window-free scalar join."""
+    counts = attrs.where(F.col(col).isNotNull()).groupBy(
+        F.col(col).alias(f"val_{col}")
+    ).agg(F.count("*").alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        f"val_{col}", (F.col("_n") / F.col("_total")).alias(f"tf_{col}")
+    )
+
+
+def tf_adjusted_scores(
+    gammas: DataFrame,
+    cols: Sequence[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    tf_tables: dict[str, DataFrame],
+    tf_weight: dict[str, float] | None = None,
+    tf_minimum_u: float = 0.001,
+) -> DataFrame:
+    """FS scoring with Splink's term-frequency adjustment
+    (tf_adjustment_column / tf_adjustment_weight / tf_minimum_u_value,
+    /root/reference/utils/parameter_lists.py:11-13): agreeing on a RARE
+    value is stronger evidence than agreeing on a common one, so for an
+    agreement on value v the column's generic u is replaced by
+    max(tf(v), tf_minimum_u), i.e. the weight gains
+    tf_weight * log2(u / max(tf(v), tf_minimum_u)).
+
+    gammas must carry val_<col> for every TF column (gamma_vectors
+    keep_values). TF tables join per column — distinct-value tables, so
+    Catalyst/AQE broadcasts them when small; a high-cardinality TF table
+    degrades to a hash join, never a driver collect.
+    """
+    tf_weight = tf_weight or {}
+    scored = score_pairs(gammas, cols, m, u)
+    adj_cols = []
+    for c, tf in tf_tables.items():
+        if c not in u:
+            raise ValueError(f"TF column {c!r} has no u probability")
+        w = float(tf_weight.get(c, 1.0))
+        adj = F.lit(w) * F.log2(
+            F.lit(u[c]) / F.greatest(F.col(f"tf_{c}"), F.lit(tf_minimum_u))
+        )
+        scored = (
+            scored.join(tf, f"val_{c}", "left")
+            .withColumn(
+                f"_adj_{c}",
+                # adjustment applies only when the pair agreed (tf joined)
+                F.when(
+                    (F.col(f"gamma_{c}") == 1) & F.col(f"tf_{c}").isNotNull(), adj
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop(f"tf_{c}")
+        )
+        adj_cols.append(f"_adj_{c}")
+    weight = F.col("match_weight")
+    for a in adj_cols:
+        weight = weight + F.col(a)
+    scored = scored.withColumn("match_weight", weight)
+    bf = F.pow(F.lit(2.0), F.col("match_weight"))
+    return scored.withColumn("match_probability", bf / (F.lit(1.0) + bf)).drop(
+        *adj_cols
     )

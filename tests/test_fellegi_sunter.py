@@ -26,6 +26,8 @@ from nhse_probabilistic_linkage_spark.operators.fellegi_sunter import (
     gamma_vectors,
     pattern_counts,
     score_pairs,
+    term_frequencies,
+    tf_adjusted_scores,
 )
 
 # ---------------------------------------------------------------------------
@@ -180,6 +182,58 @@ def test_score_pairs_arithmetic(spark):
     assert row["match_weight"] == pytest.approx(want)
     bf = 2.0**want
     assert row["match_probability"] == pytest.approx(bf / (1 + bf))
+
+
+def test_term_frequency_adjustment(spark):
+    # 10 rows: value "rare" once, "common" 9 times -> tf 0.1 / 0.9
+    attrs = spark.createDataFrame(
+        [(i, "common" if i else "rare") for i in range(10)], "id bigint, a string"
+    )
+    tf = {r["val_a"]: r["tf_a"] for r in term_frequencies(attrs, "a").collect()}
+    assert tf == {"rare": pytest.approx(0.1), "common": pytest.approx(0.9)}
+
+    pairs = spark.createDataFrame(
+        [(0, 10), (1, 2), (1, 3)], "id_l bigint, id_r bigint"
+    )
+    attrs2 = spark.createDataFrame(
+        [(0, "rare"), (10, "rare"), (1, "common"), (2, "common"), (3, "other")],
+        "id bigint, a string",
+    )
+    g = gamma_vectors(pairs, attrs2, "id", ["a"], keep_values=["a"])
+    m, u = {"a": 0.9}, {"a": 0.2}
+    base = {
+        (r["id_l"], r["id_r"]): r["match_weight"]
+        for r in score_pairs(g, ["a"], m, u).collect()
+    }
+    out = {
+        (r["id_l"], r["id_r"]): r["match_weight"]
+        for r in tf_adjusted_scores(
+            g, ["a"], m, u, {"a": term_frequencies(attrs, "a")}, tf_minimum_u=0.001
+        ).collect()
+    }
+    # agreeing on the rare value gains log2(u/tf_rare); on the common value
+    # the adjustment is negative (tf > u); a disagreeing pair is untouched
+    assert out[(0, 10)] == pytest.approx(base[(0, 10)] + math.log2(0.2 / 0.1))
+    assert out[(1, 2)] == pytest.approx(base[(1, 2)] + math.log2(0.2 / 0.9))
+    assert out[(1, 3)] == pytest.approx(base[(1, 3)])
+    # tf_weight damps the adjustment; tf_minimum_u floors a vanishing tf
+    half = {
+        (r["id_l"], r["id_r"]): r["match_weight"]
+        for r in tf_adjusted_scores(
+            g, ["a"], m, u, {"a": term_frequencies(attrs, "a")},
+            tf_weight={"a": 0.5},
+        ).collect()
+    }
+    assert half[(0, 10)] == pytest.approx(base[(0, 10)] + 0.5 * math.log2(0.2 / 0.1))
+    floored = {
+        (r["id_l"], r["id_r"]): r["match_weight"]
+        for r in tf_adjusted_scores(
+            g, ["a"], m, u, {"a": term_frequencies(attrs, "a")}, tf_minimum_u=0.5
+        ).collect()
+    }
+    assert floored[(0, 10)] == pytest.approx(base[(0, 10)] + math.log2(0.2 / 0.5))
+    with pytest.raises(ValueError):
+        tf_adjusted_scores(g, ["a"], m, u, {"b": term_frequencies(attrs, "a")})
 
 
 def test_average_m_folds_training_runs():
