@@ -1283,11 +1283,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they remain fully functional and oracle-checked by tools/check_oracle.
     # ------------------------------------------------------------------
     priority = [
-        # dedup north-star detectors + clustering
+        # dedup north-star detectors + clustering + linkage training
+        # (r5 swaps: q89_phonetic_block and q90_fs_em IN — the round's new
+        # operators must sit in the recorded window, the r3 lesson; OUT:
+        # q55_simhash_pairs — SimHash keeps its recorded row via the HARDER
+        # q58 oracle — and q63_embedding_lsh_recall — embedding LSH keeps
+        # q60; both stay overflow-checked by tools/check_oracle.py)
         "q50_exact_dedup", "q51_ngram_jaccard_pairs", "q52_minhash_lsh_pairs",
-        "q53_cc_clusters", "q54_best_match", "q55_simhash_pairs",
+        "q53_cc_clusters", "q54_best_match", "q89_phonetic_block",
         "q57_substring_pairs", "q58_simhash_sanity", "q59_similarity_buckets",
-        "q60_embedding_neardup", "q61_ann_topk", "q63_embedding_lsh_recall",
+        "q60_embedding_neardup", "q61_ann_topk", "q90_fs_em",
         # training-data / corpus-hygiene suite
         "q70_textstats", "q71_lang_id", "q72_fingerprint_cardinality",
         "q73_url_canonical", "q74_repetition_filters", "q75_decontaminate",

@@ -73,6 +73,17 @@ def parse_args(argv=None):
     p.add_argument("--min-quality", type=float, default=None,
                    help="with --prefilter: drop docs under this quality score")
     p.add_argument(
+        "--train-fs",
+        default=None,
+        metavar="COLS",
+        help="union mode: also train Fellegi-Sunter m/u over the detector "
+        "pairs and write fs_params parquet. Comma-separated comparison "
+        "columns — page columns, or derived: host (from url), len_bucket "
+        "(length(text)//256). u comes from random-pair sampling and stays "
+        "fixed during EM (the reference's Splink training flow, "
+        "training_dedupe.py:105-129)",
+    )
+    p.add_argument(
         "--fused",
         action="store_true",
         help="production plan shape (collect_metrics=False): lazy stage/tier "
@@ -87,6 +98,9 @@ def main(argv=None) -> dict:
     args = parse_args(argv)
     if not args.input and not args.synth:
         raise SystemExit("one of --input / --synth is required")
+
+    if args.train_fs and args.mode == "cascade":
+        raise SystemExit("--train-fs is a union-mode option (cascade tiers don't emit a unified pair table)")
 
     spark = SparkSession.builder.appName("nhse-dedup-run").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -228,6 +242,38 @@ def main(argv=None) -> dict:
         )
 
     os.makedirs(args.output, exist_ok=True)
+    fs_summary = None
+    if args.train_fs:
+        from nhse_probabilistic_linkage_spark.operators.fellegi_sunter import (
+            estimate_u_random_pairs,
+            estimate_mu,
+            gamma_vectors,
+        )
+
+        fs_cols = [c.strip() for c in args.train_fs.split(",") if c.strip()]
+        attrs = pages
+        if "host" in fs_cols and "host" not in attrs.columns:
+            attrs = attrs.withColumn(
+                "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+            )
+        if "len_bucket" in fs_cols and "len_bucket" not in attrs.columns:
+            attrs = attrs.withColumn(
+                "len_bucket", (F.length("text") / 256).cast("int")
+            )
+        missing = [c for c in fs_cols if c not in attrs.columns]
+        if missing:
+            raise SystemExit(f"--train-fs columns not available: {missing}")
+        attrs = attrs.select("doc_id", *fs_cols)
+        # Splink flow: u fixed from random pairs, EM trains m and lambda
+        u = estimate_u_random_pairs(attrs, "doc_id", fs_cols, k_per_side=100)
+        g = gamma_vectors(edges.select("id_l", "id_r"), attrs, "doc_id", fs_cols)
+        fs_params = estimate_mu(g, fs_cols, fix_u=[u[c] for c in fs_cols])
+        fs_params.write.mode("overwrite").parquet(os.path.join(args.output, "fs_params"))
+        fs_summary = {
+            r["column"]: {"m": round(r["m"], 6), "u": round(r["u"], 6),
+                          "agree_weight": round(r["agree_weight"], 4)}
+            for r in fs_params.collect()
+        }
     if len(detector_tables) > 1:
         # per-pair detector-agreement vectors (reference's agreement-pattern
         # analog, utils/eval_utils.py:207-215)
@@ -267,6 +313,8 @@ def main(argv=None) -> dict:
         summary["prefilter_drops"] = {
             r["reason"]: r["n_dropped"] for r in prefilter_metrics.collect()
         }
+    if fs_summary is not None:
+        summary["fs_params"] = fs_summary
     print("SUMMARY " + json.dumps(summary))
     return summary
 

@@ -6,6 +6,7 @@ from nhse_probabilistic_linkage_spark.functions.text import (
 )
 from nhse_probabilistic_linkage_spark.functions.minhash import make_minhash_udf
 from nhse_probabilistic_linkage_spark.functions.simhash import make_simhash_udf
+from nhse_probabilistic_linkage_spark.functions.phonetics import phonetic_key, soundex_key
 
 __all__ = [
     "normalize_text",
@@ -14,4 +15,6 @@ __all__ = [
     "shingle_hashes",
     "make_minhash_udf",
     "make_simhash_udf",
+    "phonetic_key",
+    "soundex_key",
 ]

@@ -11,11 +11,13 @@ values across rules (/root/reference/notebooks_dedupe/training_dedupe.py:
   table of at most 2**k rows (k = number of compared columns). That one
   shuffle is the whole distributed cost — at 10^12 pairs the output is
   still ≤ 2**k rows.
-- EM itself then runs driver-side over that tiny table with numpy
-  (:func:`em_mu`), the same bounded-local-finish reasoning as
+- EM itself then runs driver-side over that tiny table (:func:`em_mu`) —
+  the same bounded-local-finish reasoning as
   ``connected_components.local_finish_edges``: collecting ≤ 2**k
-  (pattern, count) rows is not a scale hazard, and a fixed iteration
-  order makes the result reproducible to the bit.
+  (pattern, count) rows is not a scale hazard. The loop is deliberately
+  plain Python floats in a fixed (sorted) order: reproducible to the bit,
+  and arithmetically identical to the q90 oracle's generated SQL
+  iterations, which is what lets the EM be cross-engine-verified at all.
 - u probabilities come from the deterministic random-pair sampler
   (``functions.sampling.sample_pairs``) exactly like Splink's
   random-sampling u estimate: agreement rates among random pairs, which
@@ -48,7 +50,10 @@ def gamma_vectors(
     gamma_<col> = 1 iff both sides are non-null and equal (Splink's null
     handling folded to the conservative binary case: a null never agrees).
     Two joins against the projected attribute table; with a broadcastable
-    attrs side Catalyst picks broadcast-hash automatically.
+    attrs side Catalyst picks broadcast-hash automatically. The joins are
+    INNER: a pair whose id is absent from attrs contributes nothing —
+    matching Splink, which only scores pairs both of whose records exist
+    in the training frame.
 
     keep_values: columns whose (shared) value should ride along as
     val_<col> — needed by TF adjustment, which must know WHICH value a
@@ -90,12 +95,18 @@ def em_mu(
     init_m: float = 0.9,
     init_u: float = 0.1,
     init_lambda: float = 0.1,
+    fix_u: Sequence[float] | None = None,
 ) -> tuple[float, list[float], list[float]]:
     """EM over (pattern, count) rows. Returns (lambda, m[k], u[k]).
 
     Pure driver-side arithmetic on the ≤ 2**k-row contingency table;
     patterns are sorted first so summation order (and therefore the float
     result) is reproducible bit-for-bit.
+
+    fix_u: Splink's standard flow estimates u from random sampling FIRST
+    and holds it fixed while EM trains m and λ
+    (training_dedupe.py:105-129); pass the sampled u values here to get
+    that behavior — they are used from iteration one and never updated.
     """
     rows = sorted((tuple(int(g) for g in gs), int(n)) for gs, n in patterns)
     if not rows:
@@ -103,9 +114,11 @@ def em_mu(
     k = len(rows[0][0])
     if any(len(gs) != k for gs, _ in rows):
         raise ValueError("ragged agreement patterns")
+    if fix_u is not None and len(fix_u) != k:
+        raise ValueError("fix_u length does not match pattern width")
     lam = float(init_lambda)
     m = [float(init_m)] * k
-    u = [float(init_u)] * k
+    u = [float(x) for x in fix_u] if fix_u is not None else [float(init_u)] * k
     for _ in range(n_iter):
         sum_c = sum_r = 0.0
         num_m = [0.0] * k
@@ -125,7 +138,8 @@ def em_mu(
                     num_u[j] += n * (1.0 - r)
         lam = sum_r / sum_c
         m = [_clip(x / sum_r) for x in num_m]
-        u = [_clip(x / (sum_c - sum_r)) for x in num_u]
+        if fix_u is None:
+            u = [_clip(x / (sum_c - sum_r)) for x in num_u]
     return lam, m, u
 
 
@@ -140,6 +154,7 @@ def estimate_mu(
     init_m: float = 0.9,
     init_u: float = 0.1,
     init_lambda: float = 0.1,
+    fix_u: Sequence[float] | None = None,
 ) -> DataFrame:
     """Full estimation: pattern shuffle -> driver EM -> params DataFrame
     (column, m, u, agree_weight, disagree_weight)."""
@@ -149,7 +164,12 @@ def estimate_mu(
         (tuple(row[f"gamma_{c}"] for c in cols), row["n_pairs"]) for row in counted
     ]
     lam, m, u = em_mu(
-        pats, n_iter=n_iter, init_m=init_m, init_u=init_u, init_lambda=init_lambda
+        pats,
+        n_iter=n_iter,
+        init_m=init_m,
+        init_u=init_u,
+        init_lambda=init_lambda,
+        fix_u=fix_u,
     )
     return params_dataframe(spark, cols, m, u, lam)
 
@@ -272,6 +292,11 @@ def tf_adjusted_scores(
     for c, tf in tf_tables.items():
         if c not in u:
             raise ValueError(f"TF column {c!r} has no u probability")
+        if f"val_{c}" not in scored.columns:
+            raise ValueError(
+                f"gammas lack val_{c} — build them with gamma_vectors(..., "
+                f"keep_values=[{c!r}]) so the TF join knows the agreed value"
+            )
         w = float(tf_weight.get(c, 1.0))
         adj = F.lit(w) * F.log2(
             F.lit(u[c]) / F.greatest(F.col(f"tf_{c}"), F.lit(tf_minimum_u))

@@ -104,3 +104,36 @@ def test_cascade_mode_outputs_and_accounting(spark, tmp_path):
     # every canonical names a surviving doc
     kept = status.where("tier = 'kept'").select("canonical_id")
     assert status.join(kept, "canonical_id", "left_anti").count() == 0
+
+
+def test_train_fs_writes_params(spark, tmp_path):
+    out_dir = str(tmp_path / "fs")
+    summary = run_dedup.main(
+        ["--output", out_dir, "--synth", "400", "--train-fs", "lang,len_bucket"]
+    )
+    params = {r["column"]: r for r in spark.read.parquet(
+        os.path.join(out_dir, "fs_params")).collect()}
+    assert set(params) == {"lang", "len_bucket"}
+    for c, p in params.items():
+        assert 0.0 < p["u"] < 1.0 and 0.0 < p["m"] < 1.0
+        assert summary["fs_params"][c]["u"] == pytest.approx(p["u"], abs=1e-6)
+    # duplicates are mutated copies (similar length -> same 256-char bucket
+    # far more often than random pairs): len_bucket must be informative.
+    # lang is i.i.d. random per synth doc, so it is a deliberate control —
+    # structural checks only, m ≈ u is the EXPECTED outcome there.
+    assert params["len_bucket"]["m"] > params["len_bucket"]["u"]
+
+
+def test_train_fs_rejected_in_cascade_mode(tmp_path):
+    with pytest.raises(SystemExit, match="union-mode option"):
+        run_dedup.main(
+            ["--output", str(tmp_path / "x"), "--mode", "cascade", "--synth", "50",
+             "--train-fs", "host"]
+        )
+
+
+def test_train_fs_unknown_column_rejected(spark, tmp_path):
+    with pytest.raises(SystemExit, match="not available"):
+        run_dedup.main(
+            ["--output", str(tmp_path / "y"), "--synth", "100", "--train-fs", "nope"]
+        )
