@@ -1274,6 +1274,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q90_fs_em"] = q90_fs_em
 
+    def q91_fs_score(spark, sf_dir):
+        # Fellegi–Sunter scoring = the reference's Splink predict surface
+        # (match_weight/match_probability per pair, predict_dedupe.py:93;
+        # TF adjustment utils/parameter_lists.py:11-13): fixed m/u params
+        # (as trained params would be), gamma vectors over the q90 fixture
+        # pairs, term-frequency table for prio, pure column arithmetic —
+        # no UDFs, one broadcastable TF join.
+        from nhse_probabilistic_linkage_spark.operators.fellegi_sunter import (
+            gamma_vectors,
+            term_frequencies,
+            tf_adjusted_scores,
+        )
+
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        w = Window.orderBy("id")
+        pairs = o.select(
+            F.col("id").alias("id_l"), F.lead("id").over(w).alias("id_r")
+        ).where(F.col("id_r").isNotNull())
+        cols = ["status", "prio", "mon"]
+        m = {"status": 0.95, "prio": 0.9, "mon": 0.85}
+        u = {"status": 0.25, "prio": 0.2, "mon": 0.08}
+        g = gamma_vectors(pairs, o, "id", cols, keep_values=["prio"])
+        scored = tf_adjusted_scores(
+            g, cols, m, u,
+            tf_tables={"prio": term_frequencies(o, "prio")},
+            tf_weight={"prio": 0.5},
+            tf_minimum_u=0.001,
+        )
+        return scored.select(
+            "id_l", "id_r", "gamma_status", "gamma_prio", "gamma_mon",
+            F.round("match_weight", 6).alias("match_weight"),
+            F.round("match_probability", 6).alias("match_probability"),
+        )
+
+    q["q91_fs_score"] = q91_fs_score
+
     # ------------------------------------------------------------------
     # registration order IS the driver contract: the correctness harness
     # records the first 50 entries, so the first 50 are curated to keep a
@@ -2227,7 +2268,75 @@ def oracle_sql() -> dict[str, str]:
 
     o["q90_fs_em"] = _fs_em_oracle_sql(n_iter=5)
 
+    o["q91_fs_score"] = _fs_score_oracle_sql()
+
     return o
+
+
+def _fs_score_oracle_sql() -> str:
+    """q91 oracle: FS scoring with TF adjustment over the q90 fixture pairs.
+
+    The agree/disagree weights are computed HERE with the same math.log2
+    the Spark side's score_pairs uses and embedded as double literals, so
+    the only cross-engine arithmetic is the (identically-associated) sum,
+    the TF division and the final 2**w sigmoid — all rounded to 6 dp.
+    """
+    import math
+
+    cols = ["status", "prio", "mon"]
+    m = {"status": 0.95, "prio": 0.9, "mon": 0.85}
+    u = {"status": 0.25, "prio": 0.2, "mon": 0.08}
+
+    def dl(v: float) -> str:
+        r = repr(float(v))
+        return r if "e" in r else r + "e0"
+
+    case_sum = " + ".join(
+        f"CASE WHEN gamma_{c} = 1 THEN {dl(math.log2(m[c] / u[c]))} "
+        f"ELSE {dl(math.log2((1.0 - m[c]) / (1.0 - u[c])))} END"
+        for c in cols
+    )
+    return f"""
+        WITH o AS (
+          SELECT o_orderkey AS id, o_orderstatus AS status,
+                 o_orderpriority AS prio, month(o_orderdate) AS mon
+          FROM orders
+        ),
+        prs AS (SELECT id AS id_l, lead(id) OVER (ORDER BY id) AS id_r FROM o),
+        tf AS (
+          SELECT prio AS val,
+                 count(*) / (SELECT count(*) FROM o WHERE prio IS NOT NULL)
+                   AS tf_prio
+          FROM o WHERE prio IS NOT NULL GROUP BY prio
+        ),
+        g AS (
+          SELECT p.id_l, p.id_r,
+                 CASE WHEN l.status IS NOT NULL AND r.status IS NOT NULL
+                       AND l.status = r.status THEN 1 ELSE 0 END AS gamma_status,
+                 CASE WHEN l.prio IS NOT NULL AND r.prio IS NOT NULL
+                       AND l.prio = r.prio THEN 1 ELSE 0 END AS gamma_prio,
+                 CASE WHEN l.mon IS NOT NULL AND r.mon IS NOT NULL
+                       AND l.mon = r.mon THEN 1 ELSE 0 END AS gamma_mon,
+                 CASE WHEN l.prio IS NOT NULL AND r.prio IS NOT NULL
+                       AND l.prio = r.prio THEN l.prio END AS val_prio
+          FROM prs p JOIN o l ON p.id_l = l.id JOIN o r ON p.id_r = r.id
+          WHERE p.id_r IS NOT NULL
+        ),
+        s AS (
+          SELECT g.id_l, g.id_r, g.gamma_status, g.gamma_prio, g.gamma_mon,
+                 (0.0e0 + {case_sum})
+                 + CASE WHEN g.gamma_prio = 1 AND t.tf_prio IS NOT NULL
+                        THEN 0.5e0 * log2({dl(u["prio"])}
+                             / greatest(t.tf_prio, CAST(0.001 AS DOUBLE)))
+                        ELSE 0.0e0 END AS w
+          FROM g LEFT JOIN tf t ON g.val_prio = t.val
+        )
+        SELECT id_l, id_r, gamma_status, gamma_prio, gamma_mon,
+               round(w, 6) AS match_weight,
+               round(pow(2.0e0, w) / (1.0e0 + pow(2.0e0, w)), 6)
+                 AS match_probability
+        FROM s
+    """
 
 
 def _fs_em_oracle_sql(n_iter: int) -> str:
