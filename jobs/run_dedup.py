@@ -245,9 +245,11 @@ def main(argv=None) -> dict:
     fs_summary = None
     if args.train_fs:
         from nhse_probabilistic_linkage_spark.operators.fellegi_sunter import (
-            estimate_u_random_pairs,
+            average_m,
             estimate_mu,
+            estimate_u_random_pairs,
             gamma_vectors,
+            params_dataframe,
         )
 
         fs_cols = [c.strip() for c in args.train_fs.split(",") if c.strip()]
@@ -264,15 +266,41 @@ def main(argv=None) -> dict:
         if missing:
             raise SystemExit(f"--train-fs columns not available: {missing}")
         attrs = attrs.select("doc_id", *fs_cols)
-        # Splink flow: u fixed from random pairs, EM trains m and lambda
+        # the literal Splink training flow (training_dedupe.py:105-150):
+        # u fixed from random pairs; one EM per blocking rule — here each
+        # detector's pair table is the rule analog — then m averaged across
+        # rules (utils/model_utils.py:35-103 analog via average_m)
         u = estimate_u_random_pairs(attrs, "doc_id", fs_cols, k_per_side=100)
-        g = gamma_vectors(edges.select("id_l", "id_r"), attrs, "doc_id", fs_cols)
-        fs_params = estimate_mu(g, fs_cols, fix_u=[u[c] for c in fs_cols])
+        fix = [u[c] for c in fs_cols]
+        per_rule_m: dict[str, dict[str, float]] = {}
+        per_rule_lam: dict[str, float] = {}
+        for det, tbl in detector_tables.items():
+            pairs_det = tbl.select("id_l", "id_r")
+            if pairs_det.isEmpty():
+                continue  # a rule that produced no pairs trains nothing
+            p = estimate_mu(gamma_vectors(pairs_det, attrs, "doc_id", fs_cols),
+                            fs_cols, fix_u=fix)
+            rows = p.collect()
+            per_rule_m[det] = {r["column"]: r["m"] for r in rows}
+            per_rule_lam[det] = rows[0]["lambda_prior"]
+        if not per_rule_m:
+            raise SystemExit("--train-fs: no detector produced any pairs to train on")
+        m_avg = average_m(list(per_rule_m.values()))
+        lam_avg = sum(per_rule_lam.values()) / len(per_rule_lam)
+        fs_params = params_dataframe(
+            spark, fs_cols, [m_avg[c] for c in fs_cols], fix, lam_avg
+        )
         fs_params.write.mode("overwrite").parquet(os.path.join(args.output, "fs_params"))
         fs_summary = {
-            r["column"]: {"m": round(r["m"], 6), "u": round(r["u"], 6),
-                          "agree_weight": round(r["agree_weight"], 4)}
-            for r in fs_params.collect()
+            "params": {
+                r["column"]: {"m": round(r["m"], 6), "u": round(r["u"], 6),
+                              "agree_weight": round(r["agree_weight"], 4)}
+                for r in fs_params.collect()
+            },
+            "m_per_rule": {
+                det: {c: round(v, 6) for c, v in ms.items()}
+                for det, ms in per_rule_m.items()
+            },
         }
     if len(detector_tables) > 1:
         # per-pair detector-agreement vectors (reference's agreement-pattern

@@ -116,7 +116,14 @@ def test_train_fs_writes_params(spark, tmp_path):
     assert set(params) == {"lang", "len_bucket"}
     for c, p in params.items():
         assert 0.0 < p["u"] < 1.0 and 0.0 < p["m"] < 1.0
-        assert summary["fs_params"][c]["u"] == pytest.approx(p["u"], abs=1e-6)
+        assert summary["fs_params"]["params"][c]["u"] == pytest.approx(p["u"], abs=1e-6)
+    # single detector -> the per-rule table has exactly the minhash rule and
+    # the averaged m equals that rule's m verbatim
+    assert set(summary["fs_params"]["m_per_rule"]) == {"minhash"}
+    for c in params:
+        assert summary["fs_params"]["m_per_rule"]["minhash"][c] == pytest.approx(
+            params[c]["m"], abs=1e-6
+        )
     # duplicates are mutated copies (similar length -> same 256-char bucket
     # far more often than random pairs): len_bucket must be informative.
     # lang is i.i.d. random per synth doc, so it is a deliberate control —
@@ -137,3 +144,20 @@ def test_train_fs_unknown_column_rejected(spark, tmp_path):
         run_dedup.main(
             ["--output", str(tmp_path / "y"), "--synth", "100", "--train-fs", "nope"]
         )
+
+
+def test_train_fs_multi_detector_averages_m(spark, tmp_path):
+    out_dir = str(tmp_path / "fs2")
+    summary = run_dedup.main(
+        ["--output", out_dir, "--synth", "400",
+         "--detectors", "minhash,simhash", "--train-fs", "len_bucket"]
+    )
+    per_rule = summary["fs_params"]["m_per_rule"]
+    # simhash may legitimately find zero pairs on a small corpus; minhash
+    # always trains. Whatever rules trained, the stored m must equal the
+    # plain average of the per-rule m values (the Splink averaging flow).
+    assert "minhash" in per_rule
+    ms = [per_rule[d]["len_bucket"] for d in per_rule]
+    stored = {r["column"]: r["m"] for r in spark.read.parquet(
+        os.path.join(out_dir, "fs_params")).collect()}
+    assert stored["len_bucket"] == pytest.approx(sum(ms) / len(ms), abs=1e-6)
