@@ -59,8 +59,13 @@ def run_once(cpus: int, n_docs: int, min_tokens: int, max_tokens: int,
     env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")  # equal heap per run
     code = _CHILD.format(repo=REPO, cpus=cpus, n_docs=n_docs,
                          min_tokens=min_tokens, max_tokens=max_tokens, metered=mode)
+    # Hang guard only, NOT part of the measurement protocol: sized so that
+    # even a host-degraded run (documented 2-6x swings) finishes — 1800s was
+    # fine up to 1.92M docs but a bad serial run at 3.84M+ would blow it and
+    # lose the whole interleaved window.
+    cap = max(1800, int(n_docs / 500))
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, env=env
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=cap, env=env
     )
     result = None
     for line in proc.stdout.splitlines():
