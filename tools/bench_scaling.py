@@ -84,12 +84,19 @@ def run_pair(n: int, n_docs: int, repeats: int, min_tokens: int, max_tokens: int
     is the faithful cost estimate."""
     lo = {"all_runs_seconds": []}
     hi = {"all_runs_seconds": []}
-    for _ in range(repeats):
+    for rep in range(repeats):
         for cpus, slot in ((n, lo), (4 * n, hi)):
             r = run_once(cpus, n_docs, min_tokens, max_tokens, mode=mode)
             slot["all_runs_seconds"].append(round(r["seconds"], 2))
             if "seconds" not in slot or r["seconds"] < slot["seconds"]:
                 slot.update({k: v for k, v in r.items()})
+            # Incremental recording: long windows (3.84M+ docs) outlive
+            # sandbox restarts; a per-run line means any completed run
+            # survives a crash instead of vanishing with the window.
+            print("RUN " + json.dumps({"rep": rep, "cpus": cpus,
+                                       "seconds": round(r["seconds"], 2),
+                                       "docs_per_sec": round(r["docs_per_sec"], 1)}),
+                  flush=True)
     return lo, hi
 
 
