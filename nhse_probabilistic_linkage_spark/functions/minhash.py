@@ -47,6 +47,58 @@ def minhash_batch(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return ((x[:, None] * a[None, :] + b[None, :]) % MERSENNE_P).min(axis=0)
 
 
+_SLAB_ROWS = 8192
+
+
+def minhash_slab(arrs: list, a: np.ndarray, b: np.ndarray) -> list:
+    """Signatures for a whole batch of documents, vectorized ACROSS docs.
+
+    The per-doc formulation (minhash_batch called in a Python loop) pays
+    ~10 numpy-dispatch overheads per document — at 400k short docs that
+    overhead dominates the actual arithmetic (r6 measurement: signatures
+    stage 3.3s at sf1.0, mostly dispatch). Here consecutive docs are packed
+    into ~_SLAB_ROWS-row slabs, each slab does ONE (rows x num_perms)
+    multiply-mod, and per-doc column-minima come from np.minimum.reduceat
+    over the doc-boundary offsets. Identical values to minhash_batch by
+    construction (same (x*a+b) % p rows, same per-doc min; pinned in
+    tests/test_signatures.py). Oversized docs fall back to the chunked
+    per-doc kernel so the temporary stays bounded; empty docs get the all-p
+    sentinel."""
+    n = len(arrs)
+    out: list = [None] * n
+    sentinel = np.full(a.shape[0], MERSENNE_P, dtype=np.int64)
+    group: list[int] = []
+    group_rows = 0
+
+    def flush() -> None:
+        nonlocal group, group_rows
+        if not group:
+            return
+        x = np.concatenate([arrs[j] for j in group])
+        x = (x.astype(np.uint64) % np.uint64(MERSENNE_P)).astype(np.int64)
+        part = (x[:, None] * a[None, :] + b[None, :]) % MERSENNE_P
+        starts = np.zeros(len(group), dtype=np.int64)
+        np.cumsum([arrs[j].size for j in group[:-1]], out=starts[1:])
+        mins = np.minimum.reduceat(part, starts, axis=0)
+        for k, j in enumerate(group):
+            out[j] = mins[k]
+        group, group_rows = [], 0
+
+    for i in range(n):
+        sz = arrs[i].size
+        if sz == 0:
+            out[i] = sentinel
+        elif sz > _SLAB_ROWS:
+            out[i] = minhash_batch(arrs[i], a, b)
+        else:
+            group.append(i)
+            group_rows += sz
+            if group_rows >= _SLAB_ROWS:
+                flush()
+    flush()
+    return out
+
+
 def make_minhash_udf(num_perms: int = 128, seed: int = 42):
     """Returns a pandas UDF: array<bigint> shingle hashes -> array<bigint>
     signature of length num_perms."""
@@ -54,13 +106,11 @@ def make_minhash_udf(num_perms: int = 128, seed: int = 42):
 
     @pandas_udf(ArrayType(LongType()))
     def minhash(shingle_hashes: pd.Series) -> pd.Series:
-        out = [
-            minhash_batch(
-                np.asarray(arr if arr is not None else [], dtype=np.int64), a, b
-            )
+        arrs = [
+            np.asarray(arr if arr is not None else [], dtype=np.int64)
             for arr in shingle_hashes
         ]
-        return pd.Series(out)
+        return pd.Series(minhash_slab(arrs, a, b))
 
     return minhash
 

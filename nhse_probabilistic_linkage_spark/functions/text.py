@@ -109,22 +109,30 @@ def windowed_shingle_hashes(token_hash_col: Column, k: int = 5) -> Column:
 def prepare_docs(df, text_col: str = "text", k: int = 5, keep_shingle_strings: bool = False):
     """Attach `shingles` (array<bigint>) to a document DataFrame.
 
-    One pass, all native; column-pruned by Catalyst if callers select less.
+    Tokenization and per-token hashing stay native (cheap — measured 0.7s of
+    the 8.6s sf1.0 prepare stage); the windowed k-gram fold + distinct runs
+    in the vectorized numpy kernel (functions/shingle_kernel.py), which is
+    BIT-IDENTICAL to the native `windowed_shingle_hashes` expression (pinned
+    in tests/test_text.py) and removes the per-window slice allocation that
+    dominated the stage (r6: 7.6s -> sub-second short docs, 24s -> ~2s long
+    docs). The token array is materialized as its own projection step where
+    the string-shingle debug path needs to reference it more than once
+    (lambda-bearing expressions are opaque to codegen subexpression
+    elimination — see with_textstats)."""
+    from nhse_probabilistic_linkage_spark.functions.shingle_kernel import make_shingle_udf
 
-    The token array is materialized as its own projection step: `shingles()`
-    references its input 4 times, and lambda-bearing expressions are opaque
-    to codegen subexpression elimination — inlining would normalize+split
-    the text 5 times per row (verified via .explain; CollapseProject keeps
-    non-cheap multi-referenced aliases in separate Projects, so this stays
-    one evaluation).
-    """
-    out = (
-        df.withColumn("_toks", tokenize(F.col(text_col)))
-        .withColumn("_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
-        .withColumn("shingles", windowed_shingle_hashes(F.col("_th"), k))
-    )
+    shingle_udf = make_shingle_udf(k)
     if keep_shingle_strings:
-        return out.withColumn("shingle_strings", shingles(F.col("_toks"), k)).drop(
-            "_toks", "_th"
+        return (
+            df.withColumn("_toks", tokenize(F.col(text_col)))
+            .withColumn(
+                "shingles",
+                shingle_udf(F.transform(F.col("_toks"), lambda t: F.xxhash64(t))),
+            )
+            .withColumn("shingle_strings", shingles(F.col("_toks"), k))
+            .drop("_toks")
         )
-    return out.drop("_toks", "_th")
+    return df.withColumn(
+        "shingles",
+        shingle_udf(F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t))),
+    )

@@ -19,6 +19,7 @@ from nhse_probabilistic_linkage_spark.operators.lsh import band_keys, candidate_
 from nhse_probabilistic_linkage_spark.operators.simhash_lsh import simhash_block_keys, verify_hamming
 from nhse_probabilistic_linkage_spark.operators.substring import substring_pairs
 from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
+from nhse_probabilistic_linkage_spark.sources.tables import spread_input
 
 
 def exact_dedup(
@@ -75,7 +76,11 @@ def minhash_lsh_pairs(
     config.verify_estimate_gate is on — the never-silent contract for the
     one lossy feature, same policy as dropped bands.
     """
-    docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
+    # spread_input: small single-row-group inputs arrive in 1-2 partitions
+    # and would run both Arrow kernels nearly serial (no-op on wide inputs)
+    docs = prepare_docs(
+        spread_input(df.select(id_col, text_col)), text_col=text_col, k=config.shingle_k
+    )
     # shingles + signatures are checkpointed TOGETHER: banding, the size
     # histogram and both sides of the verify join all re-scan this table, and
     # with the cut placed after the MinHash kernel none of those scans re-runs
@@ -109,7 +114,9 @@ def simhash_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """text -> near-duplicate pairs by SimHash Hamming distance."""
-    docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=config.shingle_k)
+    docs = prepare_docs(
+        spread_input(df.select(id_col, text_col)), text_col=text_col, k=config.shingle_k
+    )
     docs = with_simhash(docs.select(id_col, "shingles")).localCheckpoint(eager=True)
     blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
     cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap,
@@ -129,7 +136,7 @@ def ngram_jaccard_pairs(
     detectors at small scale; still distributed (shingle explode + self-join),
     but O(pairs sharing a shingle) so only for corpora where that is sane.
     """
-    docs = prepare_docs(df.select(id_col, text_col), text_col=text_col, k=k)
+    docs = prepare_docs(spread_input(df.select(id_col, text_col)), text_col=text_col, k=k)
     sized = docs.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     ).localCheckpoint(eager=True)

@@ -123,6 +123,7 @@ def candidate_pairs(
     salt_threshold: int | None = 500,
     salt_groups: int = 8,
     persist_bands: bool = False,
+    max_band_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Band table -> unique candidate pairs (id_l < id_r, match_key).
 
@@ -165,11 +166,34 @@ def candidate_pairs(
 
     persist_bands is retained for API compatibility and ignored: the grouped
     design scans the band table exactly once, so there is nothing to reuse.
+
+    max_band_rows (r6): a caller-supplied PROOF of the largest possible band
+    size (e.g. the corpus row count, which any single band can never exceed).
+    When it is at most band_cap, no band can be cap-dropped, so the dropped
+    table is empty BY CONSTRUCTION and the whole sizing/routing machinery
+    (window pass, persist, salted join) is skipped for a single
+    groupBy+combination-explode whose agg buffer is bounded by the same
+    proof. Output is identical: the cap can't fire, and salting only changes
+    task placement, never the pair set. Large corpora never qualify, so the
+    structural memory bound of the routed path is untouched at scale.
     """
     del persist_bands  # single-scan design; see docstring
     from pyspark.sql import Window
 
     spark = bands_df.sparkSession
+
+    if max_band_rows is not None and band_cap is not None and max_band_rows <= band_cap:
+        grouped = bands_df.groupBy("band_key").agg(
+            F.min("band_id").alias("band_id"), F.collect_list(id_col).alias("ids")
+        )
+        pairs = (
+            _combination_pairs(grouped.where(F.size("ids") >= 2))
+            .groupBy("id_l", "id_r")
+            .agg(F.min("band_id").alias("match_key"))
+            .localCheckpoint(eager=True)
+        )
+        return pairs, spark.createDataFrame([], "band_key bigint, band_size bigint")
+
     bsize = F.col("_bsize")
     sized = bands_df.withColumn("_bsize", F.count("*").over(Window.partitionBy("band_key")))
     # singletons (the overwhelming majority — measured 94.7% of keys at 240k
@@ -186,7 +210,7 @@ def candidate_pairs(
         )
         cap_ok = bsize <= band_cap
     else:
-        dropped = spark.createDataFrame([], "band_key bigint, band_size bigint")
+        dropped = None
         cap_ok = F.lit(True)
 
     if salt_threshold is not None:
@@ -218,11 +242,40 @@ def candidate_pairs(
     # aggregation would re-execute per scan. Eager checkpoint also lets this
     # function own its persist scope — callers in long-lived sessions
     # (streaming micro-batches) never accumulate leaked cache blocks.
-    pairs = (
-        raw.groupBy("id_l", "id_r")
-        .agg(F.min("band_id").alias("match_key"))
+    # Pairs and the (tiny) dropped-band accounting ride ONE tagged union so
+    # both materialize in a single job (r6: the separate dropped checkpoint
+    # was a full extra job per candidate_pairs call); the views below are
+    # cheap filters over the shared checkpoint.
+    pairs_part = raw.groupBy("id_l", "id_r").agg(F.min("band_id").alias("match_key"))
+    if dropped is None:
+        pairs = pairs_part.localCheckpoint(eager=True)
+        multi.unpersist()
+        return pairs, spark.createDataFrame([], "band_key bigint, band_size bigint")
+
+    idt = pairs_part.schema["id_l"].dataType
+    mkt = pairs_part.schema["match_key"].dataType
+    combined = (
+        pairs_part.select(
+            F.lit(0).alias("_t"),
+            "id_l",
+            "id_r",
+            "match_key",
+            F.lit(None).cast("bigint").alias("band_key"),
+            F.lit(None).cast("bigint").alias("band_size"),
+        )
+        .unionByName(
+            dropped.select(
+                F.lit(1).alias("_t"),
+                F.lit(None).cast(idt).alias("id_l"),
+                F.lit(None).cast(idt).alias("id_r"),
+                F.lit(None).cast(mkt).alias("match_key"),
+                "band_key",
+                "band_size",
+            )
+        )
         .localCheckpoint(eager=True)
     )
-    dropped = dropped.localCheckpoint(eager=True)  # tiny by construction
     multi.unpersist()
+    pairs = combined.where(F.col("_t") == 0).select("id_l", "id_r", "match_key")
+    dropped = combined.where(F.col("_t") == 1).select("band_key", "band_size")
     return pairs, dropped

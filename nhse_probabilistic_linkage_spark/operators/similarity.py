@@ -51,10 +51,14 @@ def brute_force_topk(
     a codegen expression, the top-k a ranking window per query. This is the
     correctness baseline; use lsh_topk for large query sets.
     """
+    from nhse_probabilistic_linkage_spark.sources.tables import spread_input
+
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec"), norm_expr(vec_col).alias("_qnorm")
     )
-    c = corpus.select(
+    # spread_input: the per-(corpus row x query) cosine fold is the dense
+    # work; a small single-row-group corpus otherwise runs it on 1-2 tasks
+    c = spread_input(corpus.select(id_col, vec_col)).select(
         F.col(id_col), F.col(vec_col).alias("_cvec"), norm_expr(vec_col).alias("_cnorm")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -138,14 +142,23 @@ def embedding_neardup_pairs(
     from nhse_probabilistic_linkage_spark.operators.lsh import candidate_pairs
 
     dropped = df.sparkSession.createDataFrame([], "band_key bigint, band_size bigint")
-    slim = df.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n"))
     if not exact:
-        # eager cut: the vector table feeds the dim probe, the bucket UDF,
-        # and BOTH sides of the verify attach — without it the caller's
-        # whole embedding lineage (often a derived/featurized expression)
+        from nhse_probabilistic_linkage_spark.sources.tables import spread_input
+
+        # spread_input BEFORE the norm projection (small single-row-group
+        # inputs arrive in 1-2 partitions; no-op on wide inputs), then a
+        # LAZY cut: the probe agg below is the first consumer and
+        # materializes the checkpoint inside its own job — one job instead
+        # of checkpoint-then-probe (r6). The cut itself is still required:
+        # the vector table feeds the dim probe, the bucket UDF, and BOTH
+        # sides of the verify attach — without it the caller's whole
+        # embedding lineage (often a derived/featurized expression)
         # re-executes per scan (measured on a 40k-doc derived-embedding
-        # input: 188s lazy vs seconds cut)
-        slim = slim.localCheckpoint(eager=True)
+        # input: 188s lazy vs seconds cut).
+        slim = spread_input(df.select(id_col, vec_col)).select(
+            F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n")
+        ).localCheckpoint(eager=False)
+        n_rows = None
         if dim is None or n_planes is None or n_tables is None:
             # ONE probe job fuses the vector-dim peek and the corpus-density
             # count that size the tables from the collision model (see
@@ -176,12 +189,19 @@ def embedding_neardup_pairs(
         bkts = slim.select(
             F.col(id_col), F.posexplode(bucket(vec_col)).alias("band_id", "band_key")
         )
+        # max_band_rows: the probe's corpus count is a PROOF that no bucket
+        # can exceed n_rows members, so small corpora (n_rows <= band_cap)
+        # take candidate_pairs' routing-free fast path — the r6 fix for the
+        # r5 verdict's q60 constant-factor regression. Identical output
+        # (cap can't fire, salting never changes the pair set); large
+        # corpora keep the full cap/salt/accounting machinery.
         cand, dropped = candidate_pairs(
             bkts,
             id_col=id_col,
             band_cap=band_cap,
             salt_threshold=salt_threshold,
             salt_groups=salt_groups,
+            max_band_rows=n_rows,
         )
         cand = (
             cand.drop("match_key")
@@ -195,6 +215,7 @@ def embedding_neardup_pairs(
             )
         )
     else:
+        slim = df.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n"))
         l = slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl"))
         r = slim.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr"))
         cand = l.crossJoin(r).where(F.col("id_l") < F.col("id_r"))

@@ -96,7 +96,14 @@ def substring_pairs(
     norm = F.col(text_col) if normalized else normalize_text(F.col(text_col))
     if max_chars is not None:
         norm = F.substring(norm, 1, max_chars)
-    docs = df.select(F.col(id_col), norm.alias("norm_text"))
+    # spread_input BEFORE the normalize projection: a small single-row-group
+    # input arrives in 1-2 partitions and would run the normalize regexp AND
+    # the winnowing kernel nearly serial (no-op on wide inputs)
+    from nhse_probabilistic_linkage_spark.sources.tables import spread_input
+
+    docs = spread_input(df.select(id_col, text_col)).select(
+        F.col(id_col), norm.alias("norm_text")
+    )
     # Reused by candidate generation AND both sides of the LCS verify join.
     # Eager cut, not persist: the band self-join references this subtree many
     # times and lazy cache registration still re-planned the winnowing UDF

@@ -34,9 +34,29 @@ def spread_pairs(pairs: DataFrame, factor: int = 2) -> DataFrame:
     / LCS / hamming verification runs in ONE task (measured: the verify stage
     was flat at ~18s regardless of core count, out_partitions=1). Compute
     density per row is invisible to AQE; spreading by pair id is one cheap
-    shuffle of the narrow table."""
+    shuffle of the narrow table.
+
+    Only worth it when the per-pair stage runs IN the spread partitioning
+    (e.g. substring's LCS after broadcast joins). A stage that sits above a
+    later shuffle (verify_pairs' doc joins re-exchange by id) must NOT
+    spread first — the exchange is pure waste (r6 plan audit: back-to-back
+    REPARTITION_BY_NUM + ENSURE_REQUIREMENTS exchanges)."""
     n = factor * pairs.sparkSession.sparkContext.defaultParallelism
     return pairs.repartition(n, "id_l", "id_r")
+
+
+def no_pushdown(col: F.Column) -> F.Column:
+    """Wrap a column so predicates built on it are NOT pushed down.
+
+    Catalyst pushes a deterministic filter through projections and into join
+    conditions by inlining the referenced alias's expression — for a filter
+    on exact jaccard that re-evaluates the array_intersect up to 4x per pair
+    inside the join condition (r6 plan audit, guide §4.4's duplication trap
+    in native-expression form). Wrapping the filtered value in a
+    nondeterministic no-op (rand() < 2 is always true; the value and row set
+    are unchanged) pins the filter ABOVE the projection that computes the
+    expensive column, so it is evaluated exactly once per row."""
+    return F.when(F.rand(42) < F.lit(2.0), col).otherwise(F.lit(None))
 
 
 def verify_pairs(
@@ -80,14 +100,15 @@ def verify_pairs(
     #    even 40k docs, driver-built and single-threaded; at corpus scale
     #    impossible). Hash-partitioning keeps the wide table distributed and
     #    skips sort-merge's sort of the wide rows.
-    # pair_ids derives from the UN-spread input: every engine path hands in
-    # an eagerly-checkpointed pair table (candidate_pairs cuts it), so the
-    # double scan (semi-join reduction + verify join) re-reads checkpointed
-    # blocks instead of re-executing the band self-join, and this branch
-    # skips the re-spread shuffle entirely.
+    # Every engine path hands in an eagerly-checkpointed pair table
+    # (candidate_pairs cuts it), so the double scan (semi-join reduction +
+    # verify join) re-reads checkpointed blocks instead of re-executing the
+    # band self-join. The pair table is NOT re-spread here: both doc joins
+    # re-exchange by id anyway, so a spread would be a wasted extra shuffle
+    # (removed r6 — the jaccard compute runs in the id_r join's exchange,
+    # whose bytes include the shingle arrays, so AQE sizes it sanely).
     pair_ids = pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col)).distinct()
     pairs_in = pairs
-    pairs = spread_pairs(pairs)
 
     if minhash_col is not None and threshold is not None:
         sig = (
@@ -167,7 +188,10 @@ def verify_pairs(
         .drop("_sh_l", "_sh_r", "_n_l", "_n_r", "_inter")
     )
     if threshold is not None:
-        out = out.filter(F.col("jaccard") >= threshold)
+        # no_pushdown: keep the filter above the _inter projection — pushed
+        # into the join condition it re-evaluates array_intersect up to 4x
+        # per pair (r6 plan audit); value and surviving row set identical
+        out = out.filter(no_pushdown(F.col("jaccard")) >= threshold)
     return out
 
 

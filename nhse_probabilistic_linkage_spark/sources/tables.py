@@ -75,5 +75,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_input(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-dense per-row stages.
+
+    A single-file parquet input with one row group cannot be split below one
+    scan task no matter how small maxPartitionBytes is (parquet splits at
+    row-group granularity), so a small-file table arrives in 1-2 partitions
+    and every downstream kernel — shingle/minhash/winnow Arrow UDFs, cosine
+    folds — runs nearly serial (r6 measurement: the fused shingle+minhash
+    job was 2-task-bound at sf1.0, 6.8s for work that takes ~1.5s wide).
+    When the input has fewer partitions than the session parallelism,
+    round-robin repartition to factor x parallelism: a trivial shuffle of
+    the narrow input next to the per-row compute it feeds (guide §2.5 input
+    skew: "repartition immediately after the read"). Inputs that already
+    arrive wide — any real at-scale table — pass through untouched, so this
+    is structurally a no-op at cluster scale, not a local tuning constant.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(factor * target)
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)

@@ -78,3 +78,32 @@ def test_minhash_spark_deterministic_across_partitionings(spark):
         sigs.append(sorted((r.doc_id, tuple(r.minhash)) for r in d.select("doc_id", "minhash").collect()))
     assert sigs[0] == sigs[1]
     assert all(len(s[1]) == 128 for s in sigs[0])
+
+
+def test_minhash_slab_matches_per_doc_kernel():
+    """The r6 batch-vectorized slab kernel (np.minimum.reduceat across doc
+    boundaries) must equal the per-doc kernel exactly — incl. empty docs,
+    docs larger than the slab, and slab-boundary packing."""
+    import numpy as np
+
+    from nhse_probabilistic_linkage_spark.functions.minhash import (
+        MERSENNE_P,
+        minhash_batch,
+        minhash_slab,
+        perm_constants,
+    )
+
+    rng = np.random.default_rng(3)
+    a, b = perm_constants(16, 42)
+    arrs = []
+    for i in range(200):
+        n = int(rng.integers(0, 50))
+        arrs.append(rng.integers(-(2**62), 2**62, size=n, dtype=np.int64))
+    arrs[7] = np.empty(0, dtype=np.int64)
+    arrs[11] = rng.integers(-(2**62), 2**62, size=9000, dtype=np.int64)  # > slab
+    got = minhash_slab(arrs, a, b)
+    for arr, sig in zip(arrs, got):
+        if arr.size == 0:
+            assert (sig == MERSENNE_P).all()
+        else:
+            assert (sig == minhash_batch(arr, a, b)).all()

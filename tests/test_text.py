@@ -150,3 +150,52 @@ def test_top_token_ratio_caps_pathological_doc(spark):
     r = df.select(top_token_ratio("text").alias("ttr")).collect()[0]
     assert time.monotonic() - t0 < 60
     assert abs(r.ttr - 1.0 / 10_000) < 1e-9
+
+
+def test_shingle_kernel_bit_identical_to_native(spark):
+    """The numpy shingle kernel (r6) must equal the native
+    windowed_shingle_hashes expression bit-for-bit: same values, same
+    (first-occurrence) order — adversarial corpus incl. empty/short/
+    repeated-token/unicode docs plus a long doc spanning fold chunks."""
+    from nhse_probabilistic_linkage_spark.functions.text import windowed_shingle_hashes
+
+    rows = [
+        ("",),
+        (None,),
+        ("one",),
+        ("a b",),
+        ("a b c d",),  # k-1 tokens -> single whole-array shingle
+        ("a b c d e",),  # exactly k
+        ("a b c d e f g h i j",),
+        ("x x x x x x x x x x x x",),  # all-identical tokens -> 1 distinct
+        ("Ünïcôdé tokens mixed 123 456 with ünïcôdé repeats 123 456 tokens",),
+        (" ".join(f"t{i % 17}" for i in range(3000)),),  # long, collisions
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    native = (
+        df.withColumn("_toks", tokenize(F.col("text")))
+        .withColumn("_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
+        .select(windowed_shingle_hashes(F.col("_th"), 5).alias("s"))
+        .collect()
+    )
+    kernel = prepare_docs(df, k=5).select("shingles").collect()
+    for n, u in zip(native, kernel):
+        assert list(n["s"]) == list(u["shingles"])
+
+
+def test_shingle_kernel_batch_invariant(spark):
+    """Kernel output is a pure per-row function: repartitioning (different
+    Arrow batch packing) must not change any document's shingles."""
+    texts = [(" ".join(f"w{(i * j) % 23}" for j in range(5 + i % 40)),) for i in range(300)]
+    df = spark.createDataFrame(texts, "text string").withColumn(
+        "doc_id", F.xxhash64("text")
+    )
+    a = {
+        r["doc_id"]: list(r["shingles"])
+        for r in prepare_docs(df.repartition(1)).select("doc_id", "shingles").collect()
+    }
+    b = {
+        r["doc_id"]: list(r["shingles"])
+        for r in prepare_docs(df.repartition(7)).select("doc_id", "shingles").collect()
+    }
+    assert a == b
