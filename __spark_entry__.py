@@ -49,7 +49,7 @@ from nhse_probabilistic_linkage_spark.operators.agreement import agreement_vecto
 from nhse_probabilistic_linkage_spark.operators.lookup import lookup_enrich_array, lookup_replace
 from nhse_probabilistic_linkage_spark.operators.nested import explode_history, recombine_histories
 from nhse_probabilistic_linkage_spark.operators.verify import similarity_buckets, verify_pairs
-from nhse_probabilistic_linkage_spark.sources.tables import load_table
+from nhse_probabilistic_linkage_spark.sources.tables import load_table, spread_input
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -839,7 +839,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis suite
     def q70_textstats(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        # spread_input: the documents parquet is a single row group, so the
+        # regex-heavy stats would run on 1-2 scan tasks (r6; no-op on wide
+        # inputs, identical output rows)
+        docs = spread_input(_t(spark, sf_dir, "documents"))
         return TS.with_textstats(docs).select(
             "doc_id", "ws_tokens", "bpe_tokens", "mean_tok_len", "alpha_ratio", "quality"
         )

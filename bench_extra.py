@@ -45,10 +45,14 @@ def q52_phases(spark, sf_dir):
     from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
     from nhse_probabilistic_linkage_spark.sources.tables import load_table
 
+    from nhse_probabilistic_linkage_spark.sources.tables import spread_input
+
     cfg = DedupConfig(jaccard_threshold=0.8)
     t = T()
     df = load_table(spark, sf_dir, "documents")
-    docs = prepare_docs(df.select("doc_id", "text"), text_col="text", k=cfg.shingle_k)
+    docs = prepare_docs(
+        spread_input(df.select("doc_id", "text")), text_col="text", k=cfg.shingle_k
+    )
     spark.sparkContext.setJobDescription("q52: prepare (noop)")
     noop(docs.select("doc_id", "shingles"))
     t.mark("prepare_noop")
@@ -81,44 +85,15 @@ def q51_phases(spark, sf_dir):
 
 
 def q57_phases(spark, sf_dir):
-    from nhse_probabilistic_linkage_spark.functions.text import normalize_text
-    from nhse_probabilistic_linkage_spark.functions.winnow import with_fingerprints
-    from nhse_probabilistic_linkage_spark.operators.lsh import candidate_pairs
-    from nhse_probabilistic_linkage_spark.operators.substring import fingerprint_keys
-    from nhse_probabilistic_linkage_spark.functions.suffix import make_lcs_udf
-    from nhse_probabilistic_linkage_spark.operators.verify import spread_pairs
+    from nhse_probabilistic_linkage_spark.operators.dedup import substring_dedup_pairs
     from nhse_probabilistic_linkage_spark.sources.tables import load_table
 
-    cfg = DedupConfig()
-    min_span, kgram, max_chars = cfg.substr_min_span, cfg.substr_kgram, cfg.substr_max_chars
-    window = min_span - kgram + 1
     t = T()
     df = load_table(spark, sf_dir, "documents")
-    norm = F.substring(normalize_text(F.col("text")), 1, max_chars)
-    docs = df.select(F.col("doc_id"), norm.alias("norm_text"))
-    docs = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window).localCheckpoint(
-        eager=True
-    )
-    t.mark("winnow_checkpoint")
-    cands, dropped = candidate_pairs(
-        fingerprint_keys(docs, id_col="doc_id"), id_col="doc_id", band_cap=cfg.band_cap
-    )
-    t.mark("candidate_pairs_eager")
-    n = cands.count()
-    t.mark("cands_count")
-    slim = docs.select(F.col("doc_id"), F.col("norm_text"))
-    lcs = make_lcs_udf()
-    pairs = (
-        spread_pairs(cands)
-        .join(slim.select(F.col("doc_id").alias("id_l"), F.col("norm_text").alias("_t_l")), "id_l")
-        .join(slim.select(F.col("doc_id").alias("id_r"), F.col("norm_text").alias("_t_r")), "id_r")
-        .withColumn("span_len", lcs(F.col("_t_l"), F.col("_t_r")))
-        .drop("_t_l", "_t_r", "match_key")
-        .where(F.col("span_len") >= min_span)
-    )
+    pairs, _dropped = substring_dedup_pairs(df, DedupConfig())
+    t.mark("construct_eager")  # winnow checkpoint + candidate_pairs
     noop(pairs.select("id_l", "id_r"))
-    t.mark("lcs_verify_noop")
-    t.phases["n_cands"] = n
+    t.mark("verify_noop")  # span-gram prescreen + LCS on survivors
     return t.phases
 
 

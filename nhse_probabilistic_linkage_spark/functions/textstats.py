@@ -58,16 +58,25 @@ def lang_id(
     text: Column | str | None = None, default: str = "und", *, tokens: Column | None = None
 ) -> Column:
     """Argmax language over marker-word hit ratios; 'und' when no marker
-    hits. Deterministic tie-break: lexicographic language code order."""
+    hits. Deterministic tie-break: lexicographic language code order.
+
+    The per-language scores (each a token-array filter scan) are bound ONCE
+    into a lambda variable (r6): the argmax references every score ~3 times
+    (greatest + equality pick + the >0 guard), and without the binding each
+    reference re-runs its filter scan per row. Identical values — langs are
+    iterated in sorted order on both sides of the binding."""
+    langs = sorted(LANG_MARKERS)
     scores = lang_scores(text, tokens=tokens)
-    best_score = F.greatest(*scores.values())
-    pick = F.coalesce(
-        *[
-            F.when(scores[lang] == best_score, F.lit(lang))
-            for lang in sorted(LANG_MARKERS)
-        ]
-    )
-    return F.when(best_score > 0, pick).otherwise(F.lit(default))
+    scores_arr = F.array(*[scores[lang] for lang in langs])
+
+    def pick(s: Column) -> Column:
+        best = F.array_max(s)
+        choice = F.coalesce(
+            *[F.when(s[i] == best, F.lit(lang)) for i, lang in enumerate(langs)]
+        )
+        return F.when(best > 0, choice).otherwise(F.lit(default))
+
+    return _bind_once(scores_arr, pick)
 
 
 def mean_token_length(
@@ -79,11 +88,32 @@ def mean_token_length(
 
 
 def alpha_ratio(text: Column | str) -> Column:
-    """Fraction of non-space characters that are letters."""
+    """Fraction of non-space characters that are letters.
+
+    Two regex passes (r6; was four-plus once the when() re-referenced the
+    stripped string): letter UTF-16 units = length - length(letters
+    removed) — identical to stripping non-letters first, including
+    surrogate-pair counting — and non-space units = length - count of \\s
+    matches (every \\s char is one BMP unit). The denominator is bound once
+    via _bind_once so its regexp_count isn't re-run per reference."""
     c = F.col(text) if isinstance(text, str) else text
-    no_space = F.regexp_replace(c, r"\s+", "")
-    letters = F.length(F.regexp_replace(no_space, r"[^\p{L}]", ""))
-    return F.when(F.length(no_space) > 0, letters.cast("double") / F.length(no_space)).otherwise(F.lit(0.0))
+    letters = F.length(c) - F.length(F.regexp_replace(c, r"[\p{L}]", ""))
+    non_space = F.length(c) - F.regexp_count(c, F.lit(r"[\s]"))
+    return _bind_once(
+        non_space,
+        lambda ns: F.when(ns > 0, letters.cast("double") / ns).otherwise(F.lit(0.0)),
+    )
+
+
+def _quality_from_parts(n_tok: Column, mtl: Column, alpha: Column, stop: Column) -> Column:
+    """Quality formula over already-computed (unrounded) parts — shared by
+    quality_score and with_textstats so the composite never re-derives a
+    stat that a sibling column already pays for."""
+    len_term = F.least(n_tok.cast("double") / 50.0, F.lit(1.0)) * 0.25
+    mtl_term = F.when((mtl >= 3) & (mtl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+    alpha_term = alpha * 0.25
+    stop_term = F.least(stop * 5.0, F.lit(1.0)) * 0.25
+    return F.round(len_term + mtl_term + alpha_term + stop_term, 6)
 
 
 def quality_score(
@@ -97,13 +127,12 @@ def quality_score(
     other token-derived stats: lambda-bearing expressions are opaque to
     codegen subexpression elimination, so without it the normalize+split
     pipeline re-runs once per term (see with_textstats)."""
-    n_tok = whitespace_token_count(text, tokens=tokens).cast("double")
-    len_term = F.least(n_tok / 50.0, F.lit(1.0)) * 0.25
-    mtl = mean_token_length(text, tokens=tokens)
-    mtl_term = F.when((mtl >= 3) & (mtl <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
-    alpha_term = alpha_ratio(text) * 0.25
-    stop_term = F.least(stopword_ratio(text, lang, tokens=tokens) * 5.0, F.lit(1.0)) * 0.25
-    return F.round(len_term + mtl_term + alpha_term + stop_term, 6)
+    return _quality_from_parts(
+        whitespace_token_count(text, tokens=tokens),
+        mean_token_length(text, tokens=tokens),
+        alpha_ratio(text),
+        stopword_ratio(text, lang, tokens=tokens),
+    )
 
 
 def duplicate_line_ratio(text: Column | str) -> Column:
@@ -213,15 +242,33 @@ def with_textstats(df, text_col: str = "text"):
     functions.text.prepare_docs)."""
     t = F.col(text_col)
     toks = F.col("_toks")
+    # every expensive stat the composite quality re-uses is additionally
+    # materialized as its own (unrounded) alias (r6): each is
+    # multi-referenced and non-cheap, so CollapseProject keeps the alias and
+    # it evaluates once — without this the mean-token-length aggregate
+    # appeared 5x and the alpha regex chain 4x in the final (interpreted,
+    # lambda-bearing) Project. Output values identical: the output columns
+    # round the same unrounded expressions as before.
     return (
         df.withColumn("_toks", tokenize(t))
+        .withColumn("_mtl", mean_token_length(tokens=toks))
+        .withColumn("_alpha", alpha_ratio(t))
+        .withColumn("_stop", stopword_ratio(tokens=toks, lang="en"))
         .withColumn("ws_tokens", whitespace_token_count(tokens=toks))
         .withColumn("bpe_tokens", bpe_ish_token_count(t))
-        .withColumn("mean_tok_len", F.round(mean_token_length(tokens=toks), 6))
-        .withColumn("alpha_ratio", F.round(alpha_ratio(t), 6))
-        .withColumn("stopword_ratio_en", F.round(stopword_ratio(tokens=toks, lang="en"), 6))
+        .withColumn("mean_tok_len", F.round(F.col("_mtl"), 6))
+        .withColumn("alpha_ratio", F.round(F.col("_alpha"), 6))
+        .withColumn("stopword_ratio_en", F.round(F.col("_stop"), 6))
         .withColumn("lang_pred", lang_id(tokens=toks))
-        .withColumn("quality", quality_score(t, tokens=toks))
+        .withColumn(
+            "quality",
+            _quality_from_parts(
+                whitespace_token_count(tokens=toks),
+                F.col("_mtl"),
+                F.col("_alpha"),
+                F.col("_stop"),
+            ),
+        )
         .withColumn("fingerprint", doc_fingerprint(t))
-        .drop("_toks")
+        .drop("_toks", "_mtl", "_alpha", "_stop")
     )

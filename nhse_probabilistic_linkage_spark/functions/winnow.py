@@ -88,6 +88,119 @@ def winnow_fingerprints(text: str, k: int, window: int) -> np.ndarray:
     return winnow_select(kgram_hashes(cps, k), window).astype(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# Batched O(n) rolling-hash kernel (r6).
+#
+# The per-doc kernel above pays O(n*k) window arithmetic plus ~30 numpy
+# dispatches per document (the k-long powers loop alone is k scalar ops) —
+# measured 8s of q57's 12.8s at sf1.0 for 50k short docs. The batch kernel
+# concatenates a group of docs and computes every k-gram hash from ONE
+# prefix sum: with B odd (invertible mod 2^64), let
+#   T[i] = sum_{j<i} c[j] * Binv^j        (cumsum, wraparound uint64)
+# then
+#   H_k[i] = (T[i+k] - T[i]) * B^(i+k-1) = sum_{j=i}^{i+k-1} c[j]*B^(i+k-1-j)
+# which is EXACTLY kgram_hashes' polynomial (bit-identical — modular algebra
+# is exact; pinned in tests/test_substring.py), position-invariant, so the
+# global concatenated index works and per-doc slices never cross boundaries.
+# The same prefix sum yields the span-gram hashes (k = min_span) used by the
+# exact-prescreen in operators/substring.py for free.
+# ---------------------------------------------------------------------------
+
+_GROUP_CHARS = 1 << 22  # ~4M chars per concatenated group bounds temporaries
+
+
+def _inv_pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(B^m, Binv^m) for m in [0, n] as uint64 cumprods."""
+    base = _HASH_BASE
+    binv = np.uint64(pow(int(base), -1, 1 << 64))
+    with np.errstate(over="ignore"):
+        bpow = np.ones(n + 1, dtype=np.uint64)
+        bpow[1:] = base
+        np.cumprod(bpow, out=bpow)
+        bipow = np.ones(n + 1, dtype=np.uint64)
+        bipow[1:] = binv
+        np.cumprod(bipow, out=bipow)
+    return bpow, bipow
+
+
+def _group_hashes(cat: np.ndarray, ks: tuple[int, ...]) -> dict[int, np.ndarray]:
+    """All k-gram hashes of the concatenated codepoint array, for each k in
+    ks, from one shared prefix sum. Returns {k: H_k} with
+    H_k[i] = polynomial hash of cat[i:i+k] (same values as kgram_hashes)."""
+    n = cat.shape[0]
+    bpow, bipow = _inv_pow_tables(n)
+    with np.errstate(over="ignore"):
+        t = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(cat.astype(np.uint64) * bipow[:n], out=t[1:])
+        out = {}
+        for k in ks:
+            if n < k:
+                out[k] = np.empty(0, dtype=np.uint64)
+                continue
+            out[k] = (t[k:] - t[:-k]) * bpow[k - 1 : n]
+    return out
+
+
+def winnow_batch(
+    texts: list, k: int, window: int, span: int | None = None
+) -> tuple[list, list]:
+    """(fingerprints, span_grams) per text. fingerprints are identical to
+    winnow_fingerprints(text, k, window); span_grams (when `span` is set)
+    are the sorted distinct `span`-gram rolling hashes used as an exact
+    necessary condition for a shared span >= `span` chars."""
+    cps = [
+        np.frombuffer((t if t is not None else "").encode("utf-32-le"), dtype=np.uint32)
+        for t in texts
+    ]
+    n_docs = len(cps)
+    fps: list = [None] * n_docs
+    grams: list = [None] * n_docs
+    empty = np.empty(0, dtype=np.int64)
+    empty_i32 = np.empty(0, dtype=np.int32)
+    ks = (k,) if span is None else (k, span)
+
+    group: list[int] = []
+    group_chars = 0
+
+    def flush() -> None:
+        nonlocal group, group_chars
+        if not group:
+            return
+        cat = np.concatenate([cps[i] for i in group])
+        hs = _group_hashes(cat, ks)
+        s = 0
+        for i in group:
+            sz = cps[i].size
+            m = sz - k + 1
+            if m > 0:
+                fps[i] = winnow_select(hs[k][s : s + m], window).astype(np.int64)
+            else:
+                fps[i] = empty
+            if span is not None:
+                msp = sz - span + 1
+                if msp > 0:
+                    # high 32 bits only (4x smaller prescreen arrays — the
+                    # broadcast size was the verify stage's real cost, r6):
+                    # truncation is a function of the hash, so equal spans
+                    # still collide (zero false negatives); the ~n^2/2^32
+                    # extra collision pairs fall through to the exact LCS
+                    grams[i] = np.unique(
+                        (hs[span][s : s + msp] >> np.uint64(32)).astype(np.uint32)
+                    ).view(np.int32)
+                else:
+                    grams[i] = empty_i32
+            s += sz
+        group, group_chars = [], 0
+
+    for i in range(n_docs):
+        group.append(i)
+        group_chars += cps[i].size
+        if group_chars >= _GROUP_CHARS:
+            flush()
+    flush()
+    return fps, grams
+
+
 def make_winnow_udf(k: int = 16, window: int = 49):
     """pandas UDF: normalized text -> array<bigint> winnowing fingerprints.
 
@@ -97,11 +210,24 @@ def make_winnow_udf(k: int = 16, window: int = 49):
 
     @pandas_udf(ArrayType(LongType()))
     def winnow(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [winnow_fingerprints(t if t is not None else "", k, window) for t in texts]
-        )
+        fps, _ = winnow_batch(list(texts), k, window)
+        return pd.Series(fps)
 
     return winnow
+
+
+def make_winnow_span_udf(k: int, window: int, span: int):
+    """pandas UDF: normalized text -> struct(fingerprints, span_grams) —
+    winnowing fingerprints plus the distinct `span`-gram rolling hashes
+    (exact prescreen keys: two docs can share a span of >= `span` chars
+    ONLY if their span_grams overlap)."""
+
+    @pandas_udf("struct<fingerprints: array<bigint>, span_grams: array<int>>")
+    def winnow_span(texts: pd.Series) -> pd.DataFrame:
+        fps, grams = winnow_batch(list(texts), k, window, span=span)
+        return pd.DataFrame({"fingerprints": fps, "span_grams": grams})
+
+    return winnow_span
 
 
 def with_fingerprints(
@@ -110,5 +236,16 @@ def with_fingerprints(
     out_col: str = "fingerprints",
     k: int = 16,
     window: int = 49,
+    span: int | None = None,
 ) -> DataFrame:
-    return df.withColumn(out_col, make_winnow_udf(k=k, window=window)(F.col(text_col)))
+    """Attach winnowing fingerprints (and, when `span` is set, the
+    span-gram prescreen column `span_grams`)."""
+    if span is None:
+        return df.withColumn(out_col, make_winnow_udf(k=k, window=window)(F.col(text_col)))
+    both = make_winnow_span_udf(k, window, span)(F.col(text_col))
+    return (
+        df.withColumn("_w", both)
+        .withColumn(out_col, F.col("_w.fingerprints"))
+        .withColumn("span_grams", F.col("_w.span_grams"))
+        .drop("_w")
+    )

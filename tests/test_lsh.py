@@ -103,3 +103,28 @@ def test_mixed_band_sizes_route_correctly(spark):
     )
     assert got == want
     assert [(r.band_key, r.band_size) for r in dropped.collect()] == [(300, 12)]
+
+
+def test_band_keys_element_at_identical_to_slice(spark):
+    """r6 band fanout rewrite: xxhash64 over element_at args must equal
+    xxhash64(band_id, slice) — Spark folds array elements and separate
+    arguments through the same per-value hash chain."""
+    from pyspark.sql import functions as F
+
+    from nhse_probabilistic_linkage_spark.operators.lsh import band_keys
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(128)), lambda i: F.xxhash64(F.col("id"), i)).alias(
+            "minhash"
+        ),
+    )
+    got = band_keys(df, id_col="doc_id")
+    ref_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: F.xxhash64(i, F.slice(F.col("minhash"), i * F.lit(4) + 1, F.lit(4))),
+    )
+    ref = df.select(F.col("doc_id"), F.posexplode(ref_arr).alias("band_id", "band_key"))
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in ref.collect())
+    assert a == b

@@ -53,13 +53,17 @@ def test_small_dim_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_native_text_path_has_no_python(spark):
+def test_text_path_is_arrow_not_rowwise_python(spark):
+    """r6: the windowed-shingle fold moved into a vectorized Arrow kernel
+    (bit-identical values — tests/test_text.py) because the native
+    per-window slice+hash dominated the prepare stage. The invariant that
+    matters is unchanged: NO row-at-a-time Python anywhere, and the scan
+    stays columnar parquet."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     prepared = prepare_docs(docs.select("doc_id", "text"))
     plan = _plan(prepared)
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # higher-order-function Projects run interpreted (no codegen fusion for
-    # lambda expressions), but the scan itself must stay columnar parquet
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the vectorized shingle kernel
     assert "FileScan parquet" in plan and "Batched: true" in plan
 
 
@@ -83,15 +87,18 @@ def small_verify(spark):
     return pairs, docs
 
 
-def test_verify_pairs_spread_before_join(spark, small_verify):
+def test_verify_pairs_has_no_wasted_spread_exchange(spark, small_verify):
+    """r6: verify_pairs no longer re-spreads the pair table — both doc
+    joins re-exchange by id anyway, so the spread was a wasted back-to-back
+    Exchange (the jaccard compute runs in the id_r join's exchange, whose
+    bytes include the shingle arrays, so AQE sizes it sanely). The spread
+    remains load-bearing for substring's broadcast-join LCS path, asserted
+    in test_substring."""
     pairs, docs = small_verify
     v = verify_pairs(pairs, docs, threshold=0.7)
     v.write.format("noop").mode("overwrite").save()
     plan = _plan(v)
-    # the explicit pair re-spread must be in the plan: without it AQE
-    # coalesces the byte-narrow pair table to 1 partition and the whole
-    # verify (the engine's densest per-row compute) runs on one core
-    assert "REPARTITION_BY_NUM" in plan, plan[:3000]
+    assert "REPARTITION_BY_NUM" not in plan, plan[:3000]
 
 
 def test_url_and_repetition_paths_have_no_python(spark):

@@ -202,3 +202,55 @@ def test_substring_pairs_deterministic_across_partitioning(spark, span_corpus):
     p1, _ = substring_pairs(span_corpus.repartition(1), min_span=64)
     p8, _ = substring_pairs(span_corpus.repartition(8), min_span=64)
     assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p8.collect()))
+
+
+def test_winnow_batch_bit_identical_to_per_doc():
+    """The r6 prefix-sum batched kernel must produce byte-identical
+    fingerprints to the per-doc reference kernel (the hash algebra is exact
+    mod 2^64), across group boundaries, short docs, and empties."""
+    import numpy as np
+
+    from nhse_probabilistic_linkage_spark.functions import winnow as W
+
+    texts = [
+        "",
+        None,
+        "short",
+        "x" * 23,
+        "x" * 24,
+        "abcdefghij" * 30,
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "periodic ab" * 100,
+        "Ünïcôdé ẞpän text with emoji \U0001F600 and more padding characters here",
+    ] + [f"doc {i} " + "filler token stream " * (5 + i % 37) for i in range(50)]
+    fps, grams = W.winnow_batch(texts, k=24, window=41, span=64)
+    for t, fp in zip(texts, fps):
+        ref = W.winnow_fingerprints(t if t is not None else "", 24, 41)
+        assert list(fp) == list(ref), repr(t)
+    # span-gram necessary condition: two docs sharing a >=64-char span must
+    # share a span gram; unrelated docs must not
+    a = "PREFIX " + "S" * 100 + " SUFFIXA"
+    b = "other " + "S" * 100 + " tailB"
+    c = "completely unrelated content with no long shared span at all"
+    _, g = W.winnow_batch([a, b, c], k=24, window=41, span=64)
+    assert np.intersect1d(g[0], g[1]).size > 0
+    assert np.intersect1d(g[0], g[2]).size == 0
+
+
+def test_winnow_batch_grouping_invariant():
+    """Group packing must not change values: tiny _GROUP_CHARS forces many
+    flushes; results must equal the single-group run."""
+    from nhse_probabilistic_linkage_spark.functions import winnow as W
+
+    texts = [f"doc {i} " + "content words here " * (3 + i % 11) for i in range(40)]
+    fps1, g1 = W.winnow_batch(texts, k=24, window=41, span=64)
+    orig = W._GROUP_CHARS
+    try:
+        W._GROUP_CHARS = 64
+        fps2, g2 = W.winnow_batch(texts, k=24, window=41, span=64)
+    finally:
+        W._GROUP_CHARS = orig
+    for x, y in zip(fps1, fps2):
+        assert list(x) == list(y)
+    for x, y in zip(g1, g2):
+        assert list(x) == list(y)
