@@ -107,14 +107,10 @@ def verify_pairs(
     # re-exchange by id anyway, so a spread would be a wasted extra shuffle
     # (removed r6 — the jaccard compute runs in the id_r join's exchange,
     # whose bytes include the shingle arrays, so AQE sizes it sanely).
-    # shuffle_hash on the (narrow, deduped) id list: the semi joins below
-    # otherwise plan as sort-merge and SORT the wide doc table (r6 plan
-    # audit: SortMergeJoin LeftSemi with a Sort over the shingle arrays)
-    pair_ids = (
-        pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col))
-        .distinct()
-        .hint("shuffle_hash")
-    )
+    # (no shuffle_hash hint on the id list: A/B at three scales showed the
+    # hinted semi-join neutral at best and ~0.8s slower at small scale —
+    # the sort it avoids is over the semi-join's NARROW probe output)
+    pair_ids = pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col)).distinct()
     pairs_in = pairs
 
     if minhash_col is not None and threshold is not None:
@@ -152,11 +148,7 @@ def verify_pairs(
             gate_metrics["pairs_gated_out"] = n_in - n_after
         # the gate shrank the pair set, so re-derive the semi-join reduction
         # from the survivors — fewer docs ship their shingle arrays below
-        pair_ids = (
-            pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col))
-            .distinct()
-            .hint("shuffle_hash")
-        )
+        pair_ids = pairs.select(F.explode(F.array("id_l", "id_r")).alias(id_col)).distinct()
 
     # per-doc distinct size computed ONCE doc-side: |A u B| = |A|+|B|-|A n B|
     # arithmetically, so the per-pair work is one array_intersect instead of

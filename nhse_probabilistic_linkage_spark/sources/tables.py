@@ -75,7 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def spread_input(df: DataFrame, factor: int = 2) -> DataFrame:
+def spread_input(df: DataFrame, factor: int = 2, key_col: str | None = None) -> DataFrame:
     """Scale-adaptive parallelism floor for compute-dense per-row stages.
 
     A single-file parquet input with one row group cannot be split below one
@@ -85,17 +85,26 @@ def spread_input(df: DataFrame, factor: int = 2) -> DataFrame:
     folds — runs nearly serial (r6 measurement: the fused shingle+minhash
     job was 2-task-bound at sf1.0, 6.8s for work that takes ~1.5s wide).
     When the input has fewer partitions than the session parallelism,
-    round-robin repartition to factor x parallelism: a trivial shuffle of
-    the narrow input next to the per-row compute it feeds (guide §2.5 input
-    skew: "repartition immediately after the read"). Inputs that already
-    arrive wide — any real at-scale table — pass through untouched, so this
-    is structurally a no-op at cluster scale, not a local tuning constant.
+    hash-repartition on `key_col` (default: the first column — every caller
+    passes an id-first projection) to factor x parallelism: a trivial
+    shuffle of the narrow input next to the per-row compute it feeds (guide
+    §2.5 input skew: "repartition immediately after the read"). Hash, NOT
+    keyless round-robin: a keyless repartition first pays a local sort of
+    ALL columns (sortBeforeRepartition, guide §2.5) — measured 27s on a
+    20k-row array<double> table vs sub-second hashed. xxhash64 of the key
+    spreads unique ids evenly over the target partition count. Inputs that
+    already arrive wide — any real at-scale table — pass through untouched,
+    so this is structurally a no-op at cluster scale, not a local tuning
+    constant.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(factor * target)
+    from pyspark.sql import functions as F
+
+    key_col = key_col if key_col is not None else df.columns[0]
+    return df.repartition(factor * target, F.xxhash64(F.col(key_col)))
 
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
