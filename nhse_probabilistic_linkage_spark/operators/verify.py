@@ -46,17 +46,26 @@ def spread_pairs(pairs: DataFrame, factor: int = 2) -> DataFrame:
 
 
 def no_pushdown(col: F.Column) -> F.Column:
-    """Wrap a column so predicates built on it are NOT pushed down.
+    """Wrap a column expression in a nondeterministic no-op so filters on
+    the RESULTING column are never pushed through its projection.
 
     Catalyst pushes a deterministic filter through projections and into join
     conditions by inlining the referenced alias's expression — for a filter
     on exact jaccard that re-evaluates the array_intersect up to 4x per pair
     inside the join condition (r6 plan audit, guide §4.4's duplication trap
-    in native-expression form). Wrapping the filtered value in a
-    nondeterministic no-op (rand() < 2 is always true; the value and row set
-    are unchanged) pins the filter ABOVE the projection that computes the
-    expensive column, so it is evaluated exactly once per row."""
-    return F.when(F.rand(42) < F.lit(2.0), col).otherwise(F.lit(None))
+    in native-expression form). Marking the PROJECTED COLUMN itself
+    nondeterministic (rand() != -1 is always true; values unchanged) makes
+    `PushPredicateThroughNonJoin` refuse the projection entirely — a filter
+    wrapped at the predicate instead still gets inlined one level down and
+    evaluated twice (observed in the r6 plan capture).
+
+    The guard must be an INEQUALITY: Spark 4's optimizer folds ordering
+    comparisons against rand()'s known [0,1) range (`rand() < 2.0` was
+    silently eliminated and the filter pushed anyway — caught by the r6
+    plan capture), but leaves `!=` alone. Pinned by a plan test
+    (tests/test_plans.py::test_verify_threshold_filter_not_pushed_into_join)
+    so an optimizer upgrade that re-enables the pushdown fails loudly."""
+    return F.when(F.rand(42) != F.lit(-1.0), col).otherwise(F.lit(None))
 
 
 def verify_pairs(
@@ -163,7 +172,29 @@ def verify_pairs(
         .join(pair_ids, id_col, "left_semi")
         .hint("shuffle_hash")
     )
-    union = F.col("_n_l") + F.col("_n_r") - F.col("_inter")
+    # The intersection size is bound ONCE as a lambda variable (transform
+    # over a 1-element array — the textstats._bind_once technique): the
+    # jaccard expression references it three times, and BOTH an alias column
+    # (CollapseProject inlines it — observed in the r6 plan capture, 3
+    # array_intersect copies) and a plain sub-expression would re-scan the
+    # arrays per reference. Inside the lambda the references are variable
+    # reads; the array scan runs exactly once per pair (plan-pinned in
+    # tests/test_plans.py).
+    def _jaccard_once() -> F.Column:
+        return F.transform(
+            F.array(F.size(F.array_intersect("_sh_l", "_sh_r"))),
+            lambda inter: F.when(
+                F.col("_n_l") + F.col("_n_r") - inter > 0,
+                inter / (F.col("_n_l") + F.col("_n_r") - inter),
+            ).otherwise(F.lit(1.0)),
+        )[0]
+
+    # when a threshold filter follows, the jaccard COLUMN is nondet-marked
+    # (values identical) so the filter cannot be pushed through the
+    # projection and the intersect evaluates exactly once per pair
+    jac = _jaccard_once()
+    if threshold is not None:
+        jac = no_pushdown(jac)
     out = (
         pairs.join(
             slim.select(
@@ -181,20 +212,11 @@ def verify_pairs(
             ),
             "id_r",
         )
-        # _inter aliased in its own projection: the jaccard expression
-        # references it three times, and a multi-referenced non-cheap alias
-        # survives CollapseProject, so the array scan runs once per pair
-        .withColumn("_inter", F.size(F.array_intersect("_sh_l", "_sh_r")))
-        .withColumn(
-            "jaccard", F.when(union > 0, F.col("_inter") / union).otherwise(F.lit(1.0))
-        )
-        .drop("_sh_l", "_sh_r", "_n_l", "_n_r", "_inter")
+        .withColumn("jaccard", jac)
+        .drop("_sh_l", "_sh_r", "_n_l", "_n_r")
     )
     if threshold is not None:
-        # no_pushdown: keep the filter above the _inter projection — pushed
-        # into the join condition it re-evaluates array_intersect up to 4x
-        # per pair (r6 plan audit); value and surviving row set identical
-        out = out.filter(no_pushdown(F.col("jaccard")) >= threshold)
+        out = out.filter(F.col("jaccard") >= threshold)
     return out
 
 

@@ -179,3 +179,21 @@ def test_candidate_cold_path_is_joinless_single_shuffle(spark):
     assert "Generate" in plan  # the streaming combination explode
     # and the pair set is exactly the per-band combinations
     assert raw.count() == 1000 * (4 * 3 // 2)
+
+
+def test_verify_threshold_filter_not_pushed_into_join(spark, small_verify):
+    """The exact-jaccard threshold filter must stay ABOVE the _inter
+    projection: pushed into the join condition it re-evaluates
+    array_intersect up to 4x per candidate pair. no_pushdown's
+    nondeterministic guard enforces this — and must keep surviving the
+    optimizer (Spark 4 folds ordering comparisons against rand()'s range;
+    the guard uses != which it leaves alone)."""
+    pairs, docs = small_verify
+    v = verify_pairs(pairs, docs, threshold=0.7)
+    v.write.format("noop").mode("overwrite").save()
+    plan = _plan(v)
+    join_lines_with_intersect = [
+        l for l in plan.splitlines() if "Join" in l and "array_intersect" in l
+    ]
+    assert not join_lines_with_intersect, join_lines_with_intersect
+    assert plan.count("array_intersect") == 1, plan.count("array_intersect")
