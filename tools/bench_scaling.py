@@ -92,11 +92,16 @@ def run_pair(n: int, n_docs: int, repeats: int, min_tokens: int, max_tokens: int
                 slot.update({k: v for k, v in r.items()})
             # Incremental recording: long windows (3.84M+ docs) outlive
             # sandbox restarts; a per-run line means any completed run
-            # survives a crash instead of vanishing with the window.
+            # survives a crash instead of vanishing with the window. Emitted
+            # on STDERR so stdout stays a clean one-JSON-document channel
+            # (json.loads/jq-safe), and self-describing (n_docs + mode) so a
+            # crash-recovered line is interpretable without the invocation
+            # args (r5 ADVICE).
             print("RUN " + json.dumps({"rep": rep, "cpus": cpus,
+                                       "n_docs": n_docs, "mode": mode,
                                        "seconds": round(r["seconds"], 2),
                                        "docs_per_sec": round(r["docs_per_sec"], 1)}),
-                  flush=True)
+                  file=sys.stderr, flush=True)
     return lo, hi
 
 
