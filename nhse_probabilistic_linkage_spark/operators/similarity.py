@@ -143,10 +143,6 @@ def embedding_neardup_pairs(
 
     dropped = df.sparkSession.createDataFrame([], "band_key bigint, band_size bigint")
     if not exact:
-        from nhse_probabilistic_linkage_spark.sources.tables import spread_input
-
-        # spread_input BEFORE the norm projection (small single-row-group
-        # inputs arrive in 1-2 partitions; no-op on wide inputs), then a
         # LAZY cut: the probe agg below is the first consumer and
         # materializes the checkpoint inside its own job — one job instead
         # of checkpoint-then-probe (r6). The cut itself is still required:
@@ -154,8 +150,13 @@ def embedding_neardup_pairs(
         # sides of the verify attach — without it the caller's whole
         # embedding lineage (often a derived/featurized expression)
         # re-executes per scan (measured on a 40k-doc derived-embedding
-        # input: 188s lazy vs seconds cut).
-        slim = spread_input(df.select(id_col, vec_col)).select(
+        # input: 188s lazy vs seconds cut). NO spread_input here
+        # (deliberate, r6 A/B): the per-row work before the band shuffle —
+        # one norm fold plus the bucket matmul — is too cheap to amortize
+        # an extra exchange (5-rep interleaved: spread 1.44/3.00s vs
+        # no-spread 0.70/2.43s at sf0.1/sf1.0), unlike the shingle/winnow
+        # kernels where the spread is a 2-5x win.
+        slim = df.select(
             F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n")
         ).localCheckpoint(eager=False)
         n_rows = None
