@@ -34,6 +34,8 @@ _SEED = np.uint64(42)  # Spark's fixed xxhash64 seed
 
 # fold chunk: bounds the (rows,) uint64 temporaries at ~8MB per pass
 _CHUNK_ROWS = 1 << 20
+# concatenated-group budget (tokens): bounds the cat/H arrays at ~32MB each
+_GROUP_ROWS = 1 << 22
 
 
 def _rotl(x: np.ndarray, r: int) -> np.ndarray:
@@ -82,8 +84,7 @@ def shingle_hashes_batch(arrs: list, k: int) -> list:
     out: list = [None] * n_docs
     empty = np.empty(0, dtype=np.int64)
 
-    big = [i for i in range(n_docs) if arrs[i].size >= k]
-    if big:
+    def run_group(big: list) -> None:
         cat = np.concatenate([arrs[i] for i in big]).view(np.uint64)
         sw = np.lib.stride_tricks.sliding_window_view(cat, k)
         n_win = sw.shape[0]
@@ -99,6 +100,22 @@ def shingle_hashes_batch(arrs: list, k: int) -> list:
             # windows crossing into the next doc are simply never sliced
             out[i] = _distinct_first(Hs[s : s + sz - k + 1])
             s += sz
+
+    # concatenated groups are bounded at ~_GROUP_ROWS tokens so an Arrow
+    # batch of very long documents never materializes a multi-GB cat/H
+    # pair; grouping only amortizes dispatch, values are per-doc
+    group: list = []
+    group_rows = 0
+    for i in range(n_docs):
+        if arrs[i].size < k:
+            continue
+        group.append(i)
+        group_rows += arrs[i].size
+        if group_rows >= _GROUP_ROWS:
+            run_group(group)
+            group, group_rows = [], 0
+    if group:
+        run_group(group)
 
     # short docs (0 < n < k): one shingle = chain over the whole array;
     # grouped by length so each group is a single vectorized fold

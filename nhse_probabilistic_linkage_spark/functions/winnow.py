@@ -162,6 +162,23 @@ def winnow_batch(
     group: list[int] = []
     group_chars = 0
 
+    def finish_doc(i: int, hk: np.ndarray, hspan: np.ndarray | None) -> None:
+        fps[i] = (
+            winnow_select(hk, window).astype(np.int64) if hk.size else empty
+        )
+        if span is not None:
+            if hspan is not None and hspan.size:
+                # high 32 bits only (4x smaller prescreen arrays — the
+                # broadcast size was the verify stage's real cost, r6):
+                # truncation is a function of the hash, so equal spans
+                # still collide (zero false negatives); the ~n^2/2^32
+                # extra collision pairs fall through to the exact LCS
+                grams[i] = np.unique(
+                    (hspan >> np.uint64(32)).astype(np.uint32)
+                ).view(np.int32)
+            else:
+                grams[i] = empty_i32
+
     def flush() -> None:
         nonlocal group, group_chars
         if not group:
@@ -172,27 +189,28 @@ def winnow_batch(
         for i in group:
             sz = cps[i].size
             m = sz - k + 1
-            if m > 0:
-                fps[i] = winnow_select(hs[k][s : s + m], window).astype(np.int64)
-            else:
-                fps[i] = empty
+            hk = hs[k][s : s + m] if m > 0 else hs[k][:0]
+            hspan = None
             if span is not None:
                 msp = sz - span + 1
-                if msp > 0:
-                    # high 32 bits only (4x smaller prescreen arrays — the
-                    # broadcast size was the verify stage's real cost, r6):
-                    # truncation is a function of the hash, so equal spans
-                    # still collide (zero false negatives); the ~n^2/2^32
-                    # extra collision pairs fall through to the exact LCS
-                    grams[i] = np.unique(
-                        (hs[span][s : s + msp] >> np.uint64(32)).astype(np.uint32)
-                    ).view(np.int32)
-                else:
-                    grams[i] = empty_i32
+                hspan = hs[span][s : s + msp] if msp > 0 else hs[span][:0]
+            finish_doc(i, hk, hspan)
             s += sz
         group, group_chars = [], 0
 
     for i in range(n_docs):
+        if cps[i].size >= _GROUP_CHARS:
+            # a single doc past the group budget would make _group_hashes'
+            # power tables O(doc_len) — fall back to the windowed-dot
+            # reference kernel (identical values: the prefix-sum method
+            # replicates kgram_hashes exactly), whose temporaries are
+            # chunk-bounded regardless of length
+            finish_doc(
+                i,
+                kgram_hashes(cps[i], k),
+                kgram_hashes(cps[i], span) if span is not None else None,
+            )
+            continue
         group.append(i)
         group_chars += cps[i].size
         if group_chars >= _GROUP_CHARS:

@@ -199,3 +199,28 @@ def test_shingle_kernel_batch_invariant(spark):
         for r in prepare_docs(df.repartition(7)).select("doc_id", "shingles").collect()
     }
     assert a == b
+
+
+def test_shingle_kernel_group_budget_invariant():
+    """Group packing (the memory bound for long-doc batches) must not change
+    values: a tiny _GROUP_ROWS forces many groups; results must equal the
+    single-group run. Driver-side kernel call — a Spark round-trip would
+    not see the monkeypatch on executor workers."""
+    import numpy as np
+
+    from nhse_probabilistic_linkage_spark.functions import shingle_kernel as SK
+
+    rng = np.random.default_rng(5)
+    arrs = [
+        rng.integers(-(2**62), 2**62, size=int(rng.integers(0, 40)), dtype=np.int64)
+        for _ in range(150)
+    ]
+    base = SK.shingle_hashes_batch(arrs, 5)
+    orig = SK._GROUP_ROWS
+    try:
+        SK._GROUP_ROWS = 16
+        tiny = SK.shingle_hashes_batch(arrs, 5)
+    finally:
+        SK._GROUP_ROWS = orig
+    for a, b in zip(base, tiny):
+        assert list(a) == list(b)
