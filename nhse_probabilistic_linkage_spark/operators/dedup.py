@@ -15,7 +15,11 @@ from nhse_probabilistic_linkage_spark.config import DedupConfig
 from nhse_probabilistic_linkage_spark.functions.text import normalize_text, prepare_docs
 from nhse_probabilistic_linkage_spark.functions.minhash import with_minhash
 from nhse_probabilistic_linkage_spark.functions.simhash import with_simhash
-from nhse_probabilistic_linkage_spark.operators.lsh import band_keys, candidate_pairs
+from nhse_probabilistic_linkage_spark.operators.lsh import (
+    _combination_pairs,
+    band_keys,
+    candidate_pairs,
+)
 from nhse_probabilistic_linkage_spark.operators.simhash_lsh import simhash_block_keys, verify_hamming
 from nhse_probabilistic_linkage_spark.operators.substring import substring_pairs
 from nhse_probabilistic_linkage_spark.operators.verify import verify_pairs
@@ -124,6 +128,14 @@ def simhash_pairs(
     return verify_hamming(cands, docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
 
 
+# posting-count cutoff between the broadcast-friendly inverted-index
+# self-join and the single-exchange grouped shape (~24MB of postings at
+# 16B/row — a broadcast-viability bound in the spirit of
+# autoBroadcastJoinThreshold). Module-level so tests can drive the grouped
+# branch on small corpora (tests/test_dedup_fingerprint.py).
+NGRAM_JOIN_MAX_POSTINGS = 1_500_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 5,
@@ -166,7 +178,7 @@ def ngram_jaccard_pairs(
     #     rows — this operator is the documented brute-force-correct
     #     small-scale path either way (see docstring). Both shapes produce
     #     identical (id_l, id_r, count) sets.
-    if inv_rows <= 1_500_000:
+    if inv_rows <= NGRAM_JOIN_MAX_POSTINGS:
         inter = (
             inv.alias("l")
             .join(inv.alias("r"), "sh")
@@ -181,17 +193,10 @@ def ngram_jaccard_pairs(
             inv.groupBy("sh")
             .agg(F.collect_list(id_col).alias("ids"))
             .where(F.size("ids") >= 2)
+            .select(F.lit(0).alias("band_id"), "ids")
         )
-        pair_stream = (
-            grouped.select(F.array_sort("ids").alias("_ids"))
-            .select("_ids", F.posexplode("_ids").alias("_pos", "id_l"))
-            .select(
-                "id_l",
-                F.explode(
-                    F.slice("_ids", F.col("_pos") + F.lit(2), F.size("_ids"))
-                ).alias("id_r"),
-            )
-        )
+        # the one audited implementation of the combination explode (lsh.py)
+        pair_stream = _combination_pairs(grouped).drop("band_id")
         inter = pair_stream.groupBy("id_l", "id_r").agg(F.count("*").alias("_inter"))
     sizes = sized.select(F.col(id_col), F.col("n_sh"))
     pairs = (

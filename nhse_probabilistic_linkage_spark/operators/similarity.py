@@ -112,6 +112,7 @@ def embedding_neardup_pairs(
     salt_threshold: int | None = 500,
     salt_groups: int = 8,
     with_accounting: bool = False,
+    max_band_rows: int | None = None,
 ) -> DataFrame:
     """Pairs (id_l, id_r, cosine >= threshold).
 
@@ -138,6 +139,12 @@ def embedding_neardup_pairs(
     dropped_buckets = (band_key, band_size) rows for over-cap buckets —
     never-silent recall accounting, same contract as MinHash dropped bands
     (empty on the exact path, which enumerates all pairs).
+
+    max_band_rows: optional caller-supplied PROOF of the corpus row count
+    (any single bucket can never exceed it) — forwarded to
+    candidate_pairs' routing-free small-corpus fast path. Needed only when
+    dim/n_planes/n_tables are all pinned (the probe is skipped then); when
+    the probe runs, its exact count takes precedence.
     """
     from nhse_probabilistic_linkage_spark.operators.lsh import candidate_pairs
 
@@ -159,7 +166,11 @@ def embedding_neardup_pairs(
         slim = df.select(
             F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n")
         ).localCheckpoint(eager=False)
-        n_rows = None
+        # caller-supplied band-size proof (see candidate_pairs); when the
+        # probe below runs, its exact corpus count is at least as tight, so
+        # it takes precedence — this keeps the fast path available to
+        # callers that pin dim/n_planes/n_tables and therefore skip the probe
+        n_rows = max_band_rows
         if dim is None or n_planes is None or n_tables is None:
             # ONE probe job fuses the vector-dim peek and the corpus-density
             # count that size the tables from the collision model (see

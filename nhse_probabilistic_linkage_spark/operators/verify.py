@@ -172,27 +172,26 @@ def verify_pairs(
         .join(pair_ids, id_col, "left_semi")
         .hint("shuffle_hash")
     )
-    # The intersection size is bound ONCE as a lambda variable (transform
-    # over a 1-element array — the textstats._bind_once technique): the
-    # jaccard expression references it three times, and BOTH an alias column
-    # (CollapseProject inlines it — observed in the r6 plan capture, 3
-    # array_intersect copies) and a plain sub-expression would re-scan the
-    # arrays per reference. Inside the lambda the references are variable
-    # reads; the array scan runs exactly once per pair (plan-pinned in
-    # tests/test_plans.py).
-    def _jaccard_once() -> F.Column:
-        return F.transform(
-            F.array(F.size(F.array_intersect("_sh_l", "_sh_r"))),
-            lambda inter: F.when(
-                F.col("_n_l") + F.col("_n_r") - inter > 0,
-                inter / (F.col("_n_l") + F.col("_n_r") - inter),
-            ).otherwise(F.lit(1.0)),
-        )[0]
+    # The intersection size is bound ONCE as a lambda variable
+    # (textstats._bind_once): the jaccard expression references it three
+    # times, and BOTH an alias column (CollapseProject inlines it — observed
+    # in the r6 plan capture, 3 array_intersect copies) and a plain
+    # sub-expression would re-scan the arrays per reference. Inside the
+    # lambda the references are variable reads; the array scan runs exactly
+    # once per pair (plan-pinned in tests/test_plans.py).
+    from nhse_probabilistic_linkage_spark.functions.textstats import _bind_once
+
+    jac = _bind_once(
+        F.size(F.array_intersect("_sh_l", "_sh_r")),
+        lambda inter: F.when(
+            F.col("_n_l") + F.col("_n_r") - inter > 0,
+            inter / (F.col("_n_l") + F.col("_n_r") - inter),
+        ).otherwise(F.lit(1.0)),
+    )
 
     # when a threshold filter follows, the jaccard COLUMN is nondet-marked
     # (values identical) so the filter cannot be pushed through the
     # projection and the intersect evaluates exactly once per pair
-    jac = _jaccard_once()
     if threshold is not None:
         jac = no_pushdown(jac)
     out = (

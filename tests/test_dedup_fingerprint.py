@@ -49,3 +49,29 @@ def test_exact_dedup_groups_and_separates(spark):
     out = {r.doc_id: (r.rep_id, r.group_size) for r in exact_dedup(df).collect()}
     assert out[1] == (1, 2) and out[2] == (1, 2)
     assert out[3] == (3, 1)
+
+
+def test_ngram_grouped_branch_matches_join_branch(spark):
+    """The large-corpus grouped shape of ngram_jaccard_pairs must produce
+    the identical pair set as the broadcast self-join shape (the branch is
+    picked driver-side, so forcing the module threshold covers it)."""
+    from pyspark.sql import functions as F
+
+    from nhse_probabilistic_linkage_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(df):
+        return sorted(
+            (r["id_l"], r["id_r"], round(r["jaccard"], 9))
+            for r in df.select("id_l", "id_r", "jaccard").collect()
+        )
+
+    join_shape = rows(D.ngram_jaccard_pairs(docs, k=5, threshold=0.3))
+    orig = D.NGRAM_JOIN_MAX_POSTINGS
+    try:
+        D.NGRAM_JOIN_MAX_POSTINGS = 0  # force the grouped branch
+        grouped_shape = rows(D.ngram_jaccard_pairs(docs, k=5, threshold=0.3))
+    finally:
+        D.NGRAM_JOIN_MAX_POSTINGS = orig
+    assert join_shape == grouped_shape and len(join_shape) > 0
