@@ -88,17 +88,23 @@ def minhash_lsh_pairs(
     # shingles + signatures are checkpointed TOGETHER: banding, the size
     # histogram and both sides of the verify join all re-scan this table, and
     # with the cut placed after the MinHash kernel none of those scans re-runs
-    # the Arrow UDF. Eager localCheckpoint (not lazy persist): blocks are
-    # freed when the handle is GC'd, so repeated calls in a long-lived
-    # session don't accumulate cache entries.
+    # the Arrow UDF. localCheckpoint (not lazy persist): blocks are freed
+    # when the handle is GC'd, so repeated calls in a long-lived session
+    # don't accumulate cache entries. The cut is LAZY with the corpus count
+    # as its first consumer (the ngram-operator idiom): ONE job both
+    # materializes the checkpoint and yields the count, which is a PROOF no
+    # band can exceed it — proven-small corpora take candidate_pairs'
+    # grouped tier (identical output, no window/persist/salt machinery).
     docs = with_minhash(
         docs.select(id_col, "shingles"), num_perms=config.num_perms, seed=config.minhash_seed
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    n_docs = docs.count()
     bands = band_keys(
         docs, id_col=id_col, bands=config.bands, rows_per_band=config.rows_per_band
     )
     cands, dropped = candidate_pairs(bands, id_col=id_col, band_cap=config.band_cap,
-                                     salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
+                                     salt_threshold=config.salt_threshold, salt_groups=config.salt_groups,
+                                     max_band_rows=n_docs)
     verified = verify_pairs(
         cands,
         docs,
@@ -121,10 +127,14 @@ def simhash_pairs(
     docs = prepare_docs(
         spread_input(df.select(id_col, text_col)), text_col=text_col, k=config.shingle_k
     )
-    docs = with_simhash(docs.select(id_col, "shingles")).localCheckpoint(eager=True)
+    # lazy cut + count first consumer: same one-job materialize-and-count
+    # idiom as minhash_lsh_pairs; the count proves the band-size bound
+    docs = with_simhash(docs.select(id_col, "shingles")).localCheckpoint(eager=False)
+    n_docs = docs.count()
     blocks = simhash_block_keys(docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
     cands, _ = candidate_pairs(blocks, id_col=id_col, band_cap=config.band_cap,
-                                salt_threshold=config.salt_threshold, salt_groups=config.salt_groups)
+                                salt_threshold=config.salt_threshold, salt_groups=config.salt_groups,
+                                max_band_rows=n_docs)
     return verify_hamming(cands, docs, id_col=id_col, max_hamming=config.simhash_max_hamming)
 
 

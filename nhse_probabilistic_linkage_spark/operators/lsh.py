@@ -105,6 +105,46 @@ def semi_join_bands(
     return bands_df.join(build, "band_key", "left_semi")
 
 
+# Largest caller-proven band size for which candidate_pairs may take the
+# grouped proof tier (collect_list buffer <= this many ids = 0.5 MB worst
+# case; single-generator hot-band emission <= band_cap^2/2 rows). A proof
+# bound, not a tuning constant: corpora above it always take the fully
+# routed window/persist/salt path, so nothing changes at scale.
+GROUPED_TIER_ROWS = 65536
+
+
+def _tagged_union_checkpoint(pairs_part: DataFrame, dropped: DataFrame, spark):
+    """Materialize pairs + (tiny) dropped-band accounting in ONE tagged-union
+    checkpoint job; the returned views are cheap filters over the shared
+    checkpoint. Shared by the routed path and the grouped proof tier."""
+    idt = pairs_part.schema["id_l"].dataType
+    mkt = pairs_part.schema["match_key"].dataType
+    combined = (
+        pairs_part.select(
+            F.lit(0).alias("_t"),
+            "id_l",
+            "id_r",
+            "match_key",
+            F.lit(None).cast("bigint").alias("band_key"),
+            F.lit(None).cast("bigint").alias("band_size"),
+        )
+        .unionByName(
+            dropped.select(
+                F.lit(1).alias("_t"),
+                F.lit(None).cast(idt).alias("id_l"),
+                F.lit(None).cast(idt).alias("id_r"),
+                F.lit(None).cast(mkt).alias("match_key"),
+                "band_key",
+                "band_size",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = combined.where(F.col("_t") == 0).select("id_l", "id_r", "match_key")
+    dropped_out = combined.where(F.col("_t") == 1).select("band_key", "band_size")
+    return pairs, dropped_out
+
+
 def _combination_pairs(grouped: DataFrame) -> DataFrame:
     """All unordered member pairs of each band group, natively.
 
@@ -181,13 +221,29 @@ def candidate_pairs(
 
     max_band_rows (r6): a caller-supplied PROOF of the largest possible band
     size (e.g. the corpus row count, which any single band can never exceed).
-    When it is at most band_cap, no band can be cap-dropped, so the dropped
-    table is empty BY CONSTRUCTION and the whole sizing/routing machinery
-    (window pass, persist, salted join) is skipped for a single
-    groupBy+combination-explode whose agg buffer is bounded by the same
-    proof. Output is identical: the cap can't fire, and salting only changes
-    task placement, never the pair set. Large corpora never qualify, so the
-    structural memory bound of the routed path is untouched at scale.
+    Two proof-carrying tiers replace the sizing/routing machinery (window
+    pass, persist, salted join) when the proof is strong enough — output is
+    identical in both (the drop condition is preserved exactly, and salting
+    only changes task placement, never the pair set):
+      max_band_rows <= band_cap        no band can be cap-dropped, so the
+                                       dropped table is empty BY CONSTRUCTION
+                                       and one groupBy+combination-explode
+                                       suffices;
+      max_band_rows <= GROUPED_TIER_ROWS   a band CAN exceed band_cap, so
+                                       the grouped tier keeps the drop filter
+                                       and its accounting (size(ids) over the
+                                       grouped row = the window's count(*)),
+                                       but the agg buffer is still bounded by
+                                       the proof (<= GROUPED_TIER_ROWS ids =
+                                       0.5 MB), no window sort is paid, and
+                                       hot-band pair emission streams from
+                                       one generator instead of the salted
+                                       join — worst case band_cap^2/2 narrow
+                                       rows from one task, acceptable exactly
+                                       because the tier only fires on proven-
+                                       small inputs.
+    Large corpora never qualify for either tier, so the structural memory
+    bound of the routed path is untouched at scale.
     """
     del persist_bands  # single-scan design; see docstring
     from pyspark.sql import Window
@@ -205,6 +261,67 @@ def candidate_pairs(
             .localCheckpoint(eager=True)
         )
         return pairs, spark.createDataFrame([], "band_key bigint, band_size bigint")
+
+    if max_band_rows is not None and max_band_rows <= GROUPED_TIER_ROWS:
+        grouped = bands_df.groupBy("band_key").agg(
+            F.min("band_id").alias("band_id"), F.collect_list(id_col).alias("ids")
+        )
+        sz = F.size("ids")
+        if band_cap is None:
+            pairs = (
+                _combination_pairs(grouped.where(sz >= 2))
+                .groupBy("id_l", "id_r")
+                .agg(F.min("band_id").alias("match_key"))
+                .localCheckpoint(eager=True)
+            )
+            return pairs, spark.createDataFrame([], "band_key bigint, band_size bigint")
+        # ONE scan emits both pair rows and drop-accounting rows (a tagged
+        # generator over the grouped rows): a two-branch union here would
+        # re-execute the whole band subtree — including any Python kernel
+        # feeding it — once per branch (measured 4.2s vs 1.5s on the
+        # embedding path's 360k-bucket table; initial plan showed
+        # ArrowEvalPython x2, ReusedExchange x0). Kept groups stream their
+        # unordered pairs through the same sorted two-level explode as
+        # _combination_pairs (tag 0); over-cap groups emit exactly one
+        # sentinel row (tag 1, _ids = [null]); singletons die in the
+        # isNotNull filter. The single groupBy then dedups pairs across
+        # bands (band_key is nulled on pair rows) AND passes accounting
+        # rows through (one distinct (1, null, null, band_key) group per
+        # dropped band) — one exchange, one checkpoint job.
+        idt = bands_df.schema[id_col].dataType
+        null_id = F.array(F.lit(None).cast(idt))
+        tagged = grouped.select(
+            "band_id",
+            sz.cast("long").alias("_bs"),
+            F.when(sz > band_cap, F.lit(1)).otherwise(F.lit(0)).alias("_t"),
+            F.when(sz > band_cap, null_id)
+            .when(sz >= 2, F.array_sort("ids"))
+            .alias("_ids"),
+            F.when(sz > band_cap, F.col("band_key")).alias("band_key"),
+        ).where(F.col("_ids").isNotNull())
+        stream = (
+            tagged.select(
+                "_t", "band_id", "band_key", "_bs", "_ids",
+                F.posexplode("_ids").alias("_pos", "id_l"),
+            )
+            .select(
+                "_t", "band_id", "band_key", "_bs", "id_l",
+                F.explode(
+                    F.when(F.col("_t") == 1, null_id).otherwise(
+                        F.slice("_ids", F.col("_pos") + F.lit(2), F.size("_ids"))
+                    )
+                ).alias("id_r"),
+            )
+            .where((F.col("_t") == 1) | (F.col("id_l") != F.col("id_r")))
+        )
+        combined = (
+            stream.groupBy("_t", "id_l", "id_r", "band_key")
+            .agg(F.min("band_id").alias("match_key"), F.first("_bs").alias("band_size"))
+            .localCheckpoint(eager=True)
+        )
+        pairs = combined.where(F.col("_t") == 0).select("id_l", "id_r", "match_key")
+        dropped_out = combined.where(F.col("_t") == 1).select("band_key", "band_size")
+        return pairs, dropped_out
 
     bsize = F.col("_bsize")
     sized = bands_df.withColumn("_bsize", F.count("*").over(Window.partitionBy("band_key")))
@@ -264,30 +381,6 @@ def candidate_pairs(
         multi.unpersist()
         return pairs, spark.createDataFrame([], "band_key bigint, band_size bigint")
 
-    idt = pairs_part.schema["id_l"].dataType
-    mkt = pairs_part.schema["match_key"].dataType
-    combined = (
-        pairs_part.select(
-            F.lit(0).alias("_t"),
-            "id_l",
-            "id_r",
-            "match_key",
-            F.lit(None).cast("bigint").alias("band_key"),
-            F.lit(None).cast("bigint").alias("band_size"),
-        )
-        .unionByName(
-            dropped.select(
-                F.lit(1).alias("_t"),
-                F.lit(None).cast(idt).alias("id_l"),
-                F.lit(None).cast(idt).alias("id_r"),
-                F.lit(None).cast(mkt).alias("match_key"),
-                "band_key",
-                "band_size",
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
+    pairs, dropped = _tagged_union_checkpoint(pairs_part, dropped, spark)
     multi.unpersist()
-    pairs = combined.where(F.col("_t") == 0).select("id_l", "id_r", "match_key")
-    dropped = combined.where(F.col("_t") == 1).select("band_key", "band_size")
     return pairs, dropped

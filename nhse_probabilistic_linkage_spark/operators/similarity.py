@@ -98,6 +98,23 @@ def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: 
     return bucket
 
 
+# Largest KNOWN corpus byte size (n_rows x row width) for which the verify
+# attach explicitly broadcasts the vector table — well inside the guide's
+# "a few hundred MB is usually fine" band; above it (but still inside the
+# proof tier) the attach pins a shuffled-hash join so the planner can never
+# broadcast the pair side off a bad estimate.
+VEC_BROADCAST_BYTES = 64 << 20
+
+# join-strategy hint for the proof-tier fallback when the vector table is
+# known-bounded but too big to broadcast. A/B at sf1.0 (20k vectors, tier
+# path, verify-noop): explicit vec broadcast 0.75-1.9s, shuffle_hash
+# 1.4-1.8s, merge 1.9-2.6s, planner-on-bad-estimate 6.4-6.5s (it broadcast
+# the 1.3M-row pair side). The build side is the vector table, bounded by
+# the proof (<= GROUPED_TIER_ROWS rows split across partitions), so the
+# SHJ OOM risk the guide warns about cannot arise here.
+_FALLBACK_HINT: str | None = "shuffle_hash"
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -146,7 +163,7 @@ def embedding_neardup_pairs(
     dim/n_planes/n_tables are all pinned (the probe is skipped then); when
     the probe runs, its exact count takes precedence.
     """
-    from nhse_probabilistic_linkage_spark.operators.lsh import candidate_pairs
+    from nhse_probabilistic_linkage_spark.operators.lsh import GROUPED_TIER_ROWS, candidate_pairs
 
     dropped = df.sparkSession.createDataFrame([], "band_key bigint, band_size bigint")
     if not exact:
@@ -215,17 +232,26 @@ def embedding_neardup_pairs(
             salt_groups=salt_groups,
             max_band_rows=n_rows,
         )
-        cand = (
-            cand.drop("match_key")
-            .join(
-                slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl")),
-                "id_l",
-            )
-            .join(
-                slim.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr")),
-                "id_r",
-            )
-        )
+        # EXPLICIT attach strategy (r6): the pair checkpoint's planner
+        # estimate is unreliable (a LogicalRDD inherits its ORIGIN plan's
+        # estimate, and the grouped-tier chain under-estimates by >10x), and
+        # at 20k vectors / 12 planes the candidate tail is ~1.3M pairs — the
+        # planner happily broadcast THAT side and the verify went 1.2s ->
+        # 8-47s (building a 1.3M-row hash relation per join). The corpus
+        # side's size is KNOWN here (n_rows x dim from the probe), so the
+        # decision is made from facts, the semi_join_bands discipline:
+        # provably-small corpus -> broadcast the vectors (never the pairs);
+        # bounded-but-unbroadcastable corpus (proof tier regime) -> pin a
+        # shuffled-hash join; large corpus (no proof) -> planner's choice,
+        # whose estimates are honest there.
+        lft = slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl"))
+        rgt = slim.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_vr"), F.col("_n").alias("_nr"))
+        est_vec_bytes = None if n_rows is None else n_rows * (8 * dim + 48)
+        if est_vec_bytes is not None and est_vec_bytes <= VEC_BROADCAST_BYTES:
+            lft, rgt = F.broadcast(lft), F.broadcast(rgt)
+        elif _FALLBACK_HINT and n_rows is not None and n_rows <= GROUPED_TIER_ROWS:
+            lft, rgt = lft.hint(_FALLBACK_HINT), rgt.hint(_FALLBACK_HINT)
+        cand = cand.drop("match_key").join(lft, "id_l").join(rgt, "id_r")
     else:
         slim = df.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n"))
         l = slim.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_vl"), F.col("_n").alias("_nl"))

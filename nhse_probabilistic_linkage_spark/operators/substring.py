@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from nhse_probabilistic_linkage_spark.functions.suffix import make_lcs_udf
 from nhse_probabilistic_linkage_spark.functions.text import normalize_text
 from nhse_probabilistic_linkage_spark.functions.winnow import with_fingerprints
-from nhse_probabilistic_linkage_spark.operators.lsh import candidate_pairs
+from nhse_probabilistic_linkage_spark.operators.lsh import GROUPED_TIER_ROWS, candidate_pairs
+
+# Largest MEASURED doc-table byte size the LCS verify explicitly broadcasts
+# (same rationale as similarity.VEC_BROADCAST_BYTES: decide from facts, not
+# from the pair checkpoint's unreliable planner estimate).
+DOC_BROADCAST_BYTES = 64 << 20
 
 
 def fingerprint_keys(
@@ -111,15 +116,29 @@ def substring_pairs(
     # span=min_span additionally materializes each doc's distinct
     # min_span-gram rolling hashes (same batched prefix-sum pass): the
     # exact-prescreen keys for the verify below.
-    docs = _cut(
-        with_fingerprints(
-            docs, text_col="norm_text", k=kgram, window=window, span=min_span
-        ),
-        "substr_docs",
-    )
+    fp = with_fingerprints(docs, text_col="norm_text", k=kgram, window=window, span=min_span)
+    if checkpoint_dir is None:
+        # lazy cut + count first consumer (the ngram/minhash idiom): ONE job
+        # materializes the checkpoint and yields the corpus count
+        docs = fp.localCheckpoint(eager=False)
+    else:
+        docs = _cut(fp, "substr_docs")  # durable parquet; count below is a footer read
+    # the count is a PROOF no fingerprint band can exceed it — proven-small
+    # corpora take candidate_pairs' grouped tier (identical output incl.
+    # hot-fingerprint drop accounting)
+    n_docs = docs.count()
+    # measured corpus bytes for the verify-attach strategy below; only worth
+    # a (tiny) second agg over the checkpointed/parquet docs in the small
+    # regime — large corpora keep the planner's honest-estimate behavior
+    total_chars = None
+    if n_docs <= GROUPED_TIER_ROWS:
+        total_chars = int(
+            docs.agg(F.coalesce(F.sum(F.length("norm_text")), F.lit(0))).first()[0]
+        )
 
     cands, dropped = candidate_pairs(
         fingerprint_keys(docs, id_col=id_col), id_col=id_col, band_cap=band_cap,
+        max_band_rows=n_docs,
     )
     if checkpoint_dir is not None:
         # candidate_pairs already cut the pair table executor-locally; re-stage
@@ -148,24 +167,39 @@ def substring_pairs(
     # survivors only (verify 5.0s -> ~sub-second).
     from nhse_probabilistic_linkage_spark.operators.verify import spread_pairs
 
+    # EXPLICIT attach strategy (r6): the candidate checkpoint's planner
+    # estimate is unreliable (LogicalRDD inherits its origin plan's estimate;
+    # the grouped-tier chain under-estimates), and if the planner broadcasts
+    # the PAIR side instead of the texts, the LCS loses the spread
+    # partitioning (measured 12s -> 15-50s at sf1.0). The doc side's true
+    # size was measured above, so: provably-small text table -> broadcast it
+    # (pinning the design intent — LCS runs in the spread pair partitioning);
+    # bounded-but-unbroadcastable (proof-tier regime) -> pin a shuffled-hash
+    # join (still wide: hash(id) partitioning); large corpus -> planner's
+    # choice over honest estimates, as before.
+    slim_l = slim.select(
+        F.col(id_col).alias("id_l"),
+        F.col("norm_text").alias("_t_l"),
+        F.col("span_grams").alias("_g_l"),
+    )
+    slim_r = slim.select(
+        F.col(id_col).alias("id_r"),
+        F.col("norm_text").alias("_t_r"),
+        F.col("span_grams").alias("_g_r"),
+    )
+    # norm_text bytes + span_grams (~4 B per char) + per-row overhead.
+    # NO shuffled-hash fallback here (unlike similarity's vector attach): a
+    # forced SHJ interacts pathologically with the spread_pairs exchange and
+    # the LCS filter guard — measured 45-50s and ~40 GB of shuffle spill at
+    # sf1.0 vs 11-13s for the planner's own choice. Above the broadcast
+    # limit the planner decides, as it did before this round.
+    est_doc_bytes = None if total_chars is None else total_chars * 6 + n_docs * 96
+    if est_doc_bytes is not None and est_doc_bytes <= DOC_BROADCAST_BYTES:
+        slim_l, slim_r = F.broadcast(slim_l), F.broadcast(slim_r)
     pairs = (
         spread_pairs(cands)
-        .join(
-            slim.select(
-                F.col(id_col).alias("id_l"),
-                F.col("norm_text").alias("_t_l"),
-                F.col("span_grams").alias("_g_l"),
-            ),
-            "id_l",
-        )
-        .join(
-            slim.select(
-                F.col(id_col).alias("id_r"),
-                F.col("norm_text").alias("_t_r"),
-                F.col("span_grams").alias("_g_r"),
-            ),
-            "id_r",
-        )
+        .join(slim_l, "id_l")
+        .join(slim_r, "id_r")
         .where(F.arrays_overlap("_g_l", "_g_r"))
         .withColumn("span_len", lcs(F.col("_t_l"), F.col("_t_r")))
         .drop("_t_l", "_t_r", "_g_l", "_g_r", "match_key")

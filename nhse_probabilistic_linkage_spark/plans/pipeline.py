@@ -244,9 +244,19 @@ class DedupPipeline:
             signatures, id_col=self.id_col, bands=cfg.bands, rows_per_band=cfg.rows_per_band
         )
         # the 32x band fanout stays a codegen expression feeding the single
-        # groupBy(band_key) shuffle inside candidate_pairs — never persisted
+        # groupBy(band_key) shuffle inside candidate_pairs — never persisted.
+        # The signatures lineage job already counted the corpus (one row per
+        # doc); that count is a PROOF no band can exceed it, so proven-small
+        # corpora take candidate_pairs' grouped tier (no window sort, no
+        # persist, no salt join — identical output incl. drop accounting).
+        # Resumed stages / metrics-off runs report no count -> routed path.
+        n_docs = next(
+            (m.rows for m in reversed(self.metrics) if m.stage == "signatures" and m.rows >= 0),
+            None,
+        )
         cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap,
-                                         salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups)
+                                         salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups,
+                                         max_band_rows=n_docs)
         pairs = self._materialize(cands, "pairs", manifest, already_cut=True)
         # cheap emptiness probe first — the full count job only runs when a
         # band actually got dropped (rare by construction)
