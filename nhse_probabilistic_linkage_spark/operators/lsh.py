@@ -254,8 +254,15 @@ def candidate_pairs(
         grouped = bands_df.groupBy("band_key").agg(
             F.min("band_id").alias("band_id"), F.collect_list(id_col).alias("ids")
         )
+        # the cap filter is provably a no-op under a TRUE proof (size <=
+        # max_band_rows <= band_cap); it stays as defense in depth so a
+        # caller passing a false proof still gets the routed path's exact
+        # pair set (over-cap bands dropped) rather than unbounded emission —
+        # only the (empty-by-proof) accounting table would miss those rows
         pairs = (
-            _combination_pairs(grouped.where(F.size("ids") >= 2))
+            _combination_pairs(
+                grouped.where((F.size("ids") >= 2) & (F.size("ids") <= band_cap))
+            )
             .groupBy("id_l", "id_r")
             .agg(F.min("band_id").alias("match_key"))
             .localCheckpoint(eager=True)

@@ -250,10 +250,17 @@ class DedupPipeline:
         # corpora take candidate_pairs' grouped tier (no window sort, no
         # persist, no salt join — identical output incl. drop accounting).
         # Resumed stages / metrics-off runs report no count -> routed path.
+        # take THIS run's signatures entry (the latest), and only trust a
+        # real count: a resumed stage reports rows=-1, and skipping past it
+        # to an older entry could adopt a stale count from a previous run
+        # on a different input — a false proof, which the fast path's
+        # cap-skip must never receive
         n_docs = next(
-            (m.rows for m in reversed(self.metrics) if m.stage == "signatures" and m.rows >= 0),
+            (m.rows for m in reversed(self.metrics) if m.stage == "signatures"),
             None,
         )
+        if n_docs is not None and n_docs < 0:
+            n_docs = None
         cands, dropped = candidate_pairs(bands, id_col=self.id_col, band_cap=cfg.band_cap,
                                          salt_threshold=cfg.salt_threshold, salt_groups=cfg.salt_groups,
                                          max_band_rows=n_docs)
